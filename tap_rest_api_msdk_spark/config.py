@@ -1,0 +1,129 @@
+"""F6 — pipeline / stream config resolution.
+
+Mirrors the reference's ``discover_streams`` precedence rules
+(/root/reference/tap_rest_api_msdk/tap.py:445-555):
+
+* per-stream config overrides top-level config
+* ``params`` and ``headers`` are DICT-MERGED, stream entries winning
+  (tap.py:462-463)
+* ``records_path`` defaults to ``"$[*]"`` (tap.py:457-459)
+* pagination knobs resolve from top-level only (tap.py:520-541), except
+  ``num_inference_records`` / ``offset_records_jsonpath`` which have
+  per-stream overrides
+* unknown ``pagination_request_style`` raises ValueError
+  (streams.py:338-346); unknown ``pagination_response_style`` silently
+  falls back to "page" style (streams.py:155-161) — both quirks preserved
+  in plans/planner.py.
+
+In the Spark engine a "stream" is one WAL source (directory/table) feeding
+one lake table; the HTTP fields become source/sink identifiers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+DEFAULT_RECORDS_PATH = "$[*]"
+DEFAULT_NUM_INFERENCE_RECORDS = 50  # tap.py:92-99
+DEFAULT_PAGE_SIZE = 25  # pagination.py:92-96, streams.py:459
+
+REQUEST_STYLES = {
+    "jsonpath_paginator",
+    "default",
+    "simple_header_paginator",
+    "header_link_paginator",
+    "restapi_header_link_paginator",
+    "offset_paginator",
+    "style1",
+    "hateoas_paginator",
+    "single_page_paginator",
+    "page_number_paginator",
+    "simple_offset_paginator",
+}
+
+RESPONSE_STYLES = {"page", "default", "offset", "style1", "header_link", "hateoas_body"}
+
+
+@dataclass
+class StreamConfig:
+    """Resolved per-stream configuration (the engine's pipeline unit)."""
+
+    name: str
+    path: str = ""
+    params: dict = field(default_factory=dict)
+    headers: dict = field(default_factory=dict)
+    records_path: str = DEFAULT_RECORDS_PATH
+    primary_keys: list = field(default_factory=list)
+    replication_key: str = ""
+    except_keys: list = field(default_factory=list)
+    schema: Optional[dict] = None
+    schema_file: Optional[str] = None
+    start_date: Any = ""
+    num_inference_records: int = DEFAULT_NUM_INFERENCE_RECORDS
+    source_search_field: str = ""
+    source_search_query: str = ""
+    offset_records_jsonpath: Optional[str] = None
+    next_page_token_path: Optional[str] = None
+    pagination_request_style: str = "default"
+    pagination_response_style: str = "default"
+    pagination_page_size: Optional[int] = None
+    pagination_results_limit: Optional[int] = None
+    pagination_next_page_param: Optional[str] = None
+    pagination_limit_per_page_param: Optional[str] = None
+    pagination_total_limit_param: Optional[str] = None
+    pagination_initial_offset: int = 1
+    use_request_body_not_params: bool = False
+    store_raw_json_message: bool = False
+
+
+# keys resolved stream-first with a plain top-level fallback (tap.py:456-477)
+_STREAM_OVERRIDABLE = {
+    "records_path": DEFAULT_RECORDS_PATH,
+    "except_keys": [],
+    "path": "",
+    "start_date": "",
+    "replication_key": "",
+    "source_search_field": "",
+    "source_search_query": "",
+    "offset_records_jsonpath": None,
+    "primary_keys": [],
+    "num_inference_records": DEFAULT_NUM_INFERENCE_RECORDS,
+}
+
+# keys read from the top-level config only (tap.py:520-541)
+_TOP_LEVEL_ONLY = {
+    "next_page_token_path": None,
+    "pagination_request_style": "default",
+    "pagination_response_style": "default",
+    "pagination_page_size": None,
+    "pagination_results_limit": None,
+    "pagination_next_page_param": None,
+    "pagination_limit_per_page_param": None,
+    "pagination_total_limit_param": None,
+    "pagination_initial_offset": 1,
+    "use_request_body_not_params": False,
+    "store_raw_json_message": False,
+}
+
+
+def resolve_streams(config: dict) -> list[StreamConfig]:
+    """Resolve the raw tap-style config into per-stream configs (F6)."""
+    resolved = []
+    for stream in config["streams"]:
+        kwargs: dict[str, Any] = {"name": stream["name"]}
+        for key, default in _STREAM_OVERRIDABLE.items():
+            kwargs[key] = stream.get(key, config.get(key, default))
+        for key, default in _TOP_LEVEL_ONLY.items():
+            val = config.get(key, default)
+            kwargs[key] = default if val is None and default is not None else val
+        # dict-merge with the stream winning (tap.py:462-463)
+        kwargs["params"] = {**config.get("params", {}), **stream.get("params", {})}
+        kwargs["headers"] = {**config.get("headers", {}), **stream.get("headers", {})}
+        schema_config = stream.get("schema")
+        if isinstance(schema_config, str):
+            kwargs["schema_file"] = schema_config
+        elif isinstance(schema_config, dict):
+            kwargs["schema"] = schema_config
+        resolved.append(StreamConfig(**kwargs))
+    return resolved

@@ -1,0 +1,72 @@
+"""F6 parity — config resolution fixture from
+/root/reference/tests/test_tap.py:39-63 (two streams resolve independently;
+records_path default; params/headers dict-merge with stream winning).
+"""
+
+from tap_rest_api_msdk_spark.config import DEFAULT_RECORDS_PATH, resolve_streams
+
+
+def test_multiple_streams_resolve_independently():
+    config = {
+        "api_url": "http://example.com",
+        "pagination_request_style": "default",
+        "pagination_response_style": "default",
+        "streams": [
+            {
+                "name": "one",
+                "path": "/one",
+                "primary_keys": ["k1"],
+                "replication_key": "rk1",
+                "records_path": "$.data[*]",
+            },
+            {
+                "name": "two",
+                "path": "/two",
+                "primary_keys": ["k2"],
+            },
+        ],
+    }
+    streams = resolve_streams(config)
+    assert [s.name for s in streams] == ["one", "two"]
+    assert streams[0].records_path == "$.data[*]"
+    assert streams[1].records_path == DEFAULT_RECORDS_PATH  # tap.py:457-459
+    assert streams[0].primary_keys == ["k1"]
+    assert streams[1].replication_key == ""
+
+
+def test_params_headers_dict_merge_stream_wins():
+    config = {
+        "params": {"a": 1, "b": 2},
+        "headers": {"h": "top"},
+        "streams": [{"name": "s", "params": {"b": 20, "c": 3}, "headers": {"h": "stream"}}],
+    }
+    s = resolve_streams(config)[0]
+    assert s.params == {"a": 1, "b": 20, "c": 3}  # tap.py:462-463
+    assert s.headers == {"h": "stream"}
+
+
+def test_top_level_fallback_and_pagination_top_only():
+    config = {
+        "replication_key": "updated",
+        "pagination_request_style": "offset_paginator",
+        "pagination_page_size": 100,
+        "streams": [{"name": "s", "pagination_page_size": 7}],  # ignored: top-level-only
+    }
+    s = resolve_streams(config)[0]
+    assert s.replication_key == "updated"
+    assert s.pagination_request_style == "offset_paginator"
+    assert s.pagination_page_size == 100
+
+
+def test_schema_file_vs_inline():
+    config = {
+        "streams": [
+            {"name": "f", "schema": "/tmp/schema.json"},
+            {"name": "o", "schema": {"properties": {"x": {"type": "string"}}}},
+            {"name": "i"},
+        ]
+    }
+    f, o, i = resolve_streams(config)
+    assert f.schema_file == "/tmp/schema.json" and f.schema is None
+    assert o.schema == {"properties": {"x": {"type": "string"}}}
+    assert i.schema is None and i.schema_file is None
