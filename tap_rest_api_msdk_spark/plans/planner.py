@@ -1,0 +1,301 @@
+"""P1-P9 / H1-H4 — micro-batch offset planning over the WAL.
+
+In the reference, pagination decides *which request comes next and when to
+stop* (streams.py:279-346 dispatch; pagination.py stop conditions). In this
+engine the WAL directory plays the API: each slice file is a "page", its
+sidecar metadata the "response envelope". The planner walks pages with
+exactly the reference's per-style stop rules and emits the ordered scan
+list — which the pipeline turns into micro-batch (start, end] seq ranges.
+
+Semantic quirks preserved:
+* unknown **request** style -> ``ValueError`` (streams.py:338-346)
+* unknown **response** style silently falls back to "page" behavior
+  (streams.py:155-161)
+* P4: stops on page-count limit, missing/empty next link, empty items,
+  and the descending ``fake_since`` early exit (pagination.py:152-218)
+* P5: continue while ``offset + limit <= total`` where ``total`` comes
+  from ``pagination_total_limit_param`` (default ``total``), missing -> 0,
+  and the pagination node is ``unnest_dict``-flattened first
+  (pagination.py:64-77)
+* P9: continue while the page is FULL (len == page_size, default 25)
+  (pagination.py:104-112)
+* P8: ``hasMore`` body key, or jsonpath override (pagination.py:36-39)
+* driver-side jsonpath subset: dotted ``$.a.b`` paths (the reference's
+  token paths in practice; filter-expressions are out of scope here).
+
+These planners are pure driver-side control plane: they never touch row
+data, so at 100 TB their cost is O(pages) metadata reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qs, urlparse
+
+from tap_rest_api_msdk_spark.functions.flatten import unnest_dict
+
+DEFAULT_PAGE_SIZE = 25
+
+
+@dataclass
+class WalPage:
+    """One WAL slice + its response-envelope metadata.
+
+    ``body``   — the envelope dict (tokens, pagination node, hasMore, items)
+    ``headers``— header-channel tokens (X-Next-Page, link rel=next)
+    ``links``  — parsed link header: {"next": {"url": ...}}
+    ``n_records`` — record count in the slice
+    ``seq_range`` — (start_seq, end_seq] the slice covers in the WAL
+    """
+
+    index: int
+    n_records: int = 0
+    body: dict = field(default_factory=dict)
+    headers: dict = field(default_factory=dict)
+    links: dict = field(default_factory=dict)
+    seq_range: Optional[tuple] = None
+    request_url: str = ""
+
+
+def jsonpath_get(path: Optional[str], obj: Any) -> Any:
+    """Dotted-path subset of jsonpath: ``$.a.b`` / ``a.b``."""
+    if not path:
+        return None
+    cur = obj
+    for part in path.lstrip("$").strip(".").split("."):
+        if not part:
+            continue
+        if isinstance(cur, dict):
+            cur = cur.get(part)
+        else:
+            return None
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# request-style planners: page stream -> ordered list of scanned pages
+# ---------------------------------------------------------------------------
+
+class PlannerError(ValueError):
+    pass
+
+
+def _token_chain(pages, token_fn: Callable[[WalPage], Any], limit_records=None):
+    """Shared walk: scan page, extract continuation token, stop on None."""
+    out = []
+    total = 0
+    for page in pages:
+        out.append(page)
+        total += page.n_records
+        if limit_records and total >= limit_records:
+            break
+        if token_fn(page) is None:
+            break
+    return out
+
+
+def plan_jsonpath(pages, next_page_token_path: Optional[str] = None, **kw):
+    """P1 — default token path ``$.next_page`` (streams.py:126-134)."""
+    path = next_page_token_path or "$.next_page"
+    return _token_chain(pages, lambda p: jsonpath_get(path, p.body), kw.get("results_limit"))
+
+
+def plan_simple_header(pages, next_page_token_path: Optional[str] = None, **kw):
+    """P2 — header ``X-Next-Page``; configured jsonpath takes precedence
+    (streams.py:296-301)."""
+    def token(p: WalPage):
+        if next_page_token_path:
+            t = jsonpath_get(next_page_token_path, p.body)
+            if t is not None:
+                return t
+        return p.headers.get("X-Next-Page")
+
+    return _token_chain(pages, token, kw.get("results_limit"))
+
+
+def plan_header_link(pages, **kw):
+    """P3 — RFC-5988 Link rel=next."""
+    return _token_chain(
+        pages, lambda p: (p.links.get("next") or {}).get("url"), kw.get("results_limit")
+    )
+
+
+def plan_restapi_header_link(
+    pages,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    results_limit: Optional[int] = None,
+    replication_key: Optional[str] = None,
+    use_fake_since: bool = False,
+    **kw,
+):
+    """P4 — GitHub-style header-link with early exits (pagination.py:115-226)."""
+    out = []
+    page_count = 0
+    for page in pages:
+        out.append(page)
+        page_count += 1
+        # record-limit clean exit (pagination.py:152-161)
+        if results_limit and page_count * page_size >= results_limit:
+            break
+        nxt = (page.links.get("next") or {}).get("url")
+        if not nxt:
+            break
+        items = page.body if isinstance(page.body, list) else page.body.get("items")
+        if not items:
+            break
+        if replication_key and use_fake_since:
+            q = parse_qs(str(urlparse(page.request_url).query))
+            since = q.get("fake_since", [""])[0].replace(" ", "+")
+            direction = q.get("direction", [None])[0]
+            last = items[-1]
+            rep_date = (
+                last.get("commit", {}).get("committer", {}).get("date")
+                if replication_key == "commit_timestamp"
+                else last.get(replication_key)
+            )
+            if since and direction == "desc" and rep_date is not None and str(rep_date) < str(since):
+                break
+    return out
+
+
+def plan_offset(
+    pages,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    total_limit_param: str = "total",
+    pagination_jsonpath: Optional[str] = None,
+    **kw,
+):
+    """P5 — offset+limit vs total (pagination.py:42-77)."""
+    out = []
+    for page in pages:
+        out.append(page)
+        node = (
+            jsonpath_get(pagination_jsonpath, page.body)
+            if pagination_jsonpath
+            else page.body.get("pagination")
+        )
+        if node:
+            node = unnest_dict(node)
+        if not (node and all(x in node for x in ("offset", "limit"))):
+            break
+        if node["offset"] + node["limit"] > node.get(total_limit_param, 0):
+            break
+    return out
+
+
+def plan_hateoas(pages, **kw):
+    """P6 — full next URL in body (streams.py:322-323; README.md:391-425)."""
+    def token(p: WalPage):
+        for link in p.body.get("link", []):
+            if link.get("relation") == "next":
+                return link.get("url")
+        return None
+
+    return _token_chain(pages, token, kw.get("results_limit"))
+
+
+def plan_single_page(pages, **kw):
+    """P7 — exactly one request."""
+    for page in pages:
+        return [page]
+    return []
+
+
+def plan_page_number(pages, has_more_jsonpath: Optional[str] = None, **kw):
+    """P8 — continue while hasMore (pagination.py:17-39)."""
+    def token(p: WalPage):
+        more = (
+            jsonpath_get(has_more_jsonpath, p.body)
+            if has_more_jsonpath
+            else p.body.get("hasMore", None)
+        )
+        return True if more else None
+
+    return _token_chain(pages, token, kw.get("results_limit"))
+
+
+def plan_simple_offset(pages, page_size: int = DEFAULT_PAGE_SIZE, **kw):
+    """P9 — drain until a short page (pagination.py:80-112)."""
+    out = []
+    for page in pages:
+        out.append(page)
+        if page.n_records != page_size:
+            break
+    return out
+
+
+_REQUEST_PLANNERS = {
+    "jsonpath_paginator": plan_jsonpath,
+    "default": plan_jsonpath,
+    "simple_header_paginator": plan_simple_header,
+    "header_link_paginator": plan_header_link,
+    "restapi_header_link_paginator": plan_restapi_header_link,
+    "offset_paginator": plan_offset,
+    "style1": plan_offset,
+    "hateoas_paginator": plan_hateoas,
+    "single_page_paginator": plan_single_page,
+    "page_number_paginator": plan_page_number,
+    "simple_offset_paginator": plan_simple_offset,
+}
+
+
+def get_planner(pagination_request_style: str) -> Callable:
+    """Dispatch on request style; unknown -> ValueError (streams.py:338-346)."""
+    try:
+        return _REQUEST_PLANNERS[pagination_request_style]
+    except KeyError:
+        raise PlannerError(
+            f"Unknown pagination_request_style: {pagination_request_style}"
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+# response-style param builders (H1-H4): token -> next-scan parameters
+# ---------------------------------------------------------------------------
+
+def build_scan_params(
+    pagination_response_style: str,
+    token: Any,
+    page_size: Optional[int] = None,
+    next_page_param: Optional[str] = None,
+    limit_per_page_param: Optional[str] = None,
+    current_path: str = "",
+) -> dict:
+    """Next-request parameters from a continuation token.
+
+    H1 page (streams.py:348-392), H2 offset (394-445), H3 header_link
+    query-string parse (447-510), H4 hateoas_body URL parse incl. the
+    stateful path mutation (512-574). Unknown style -> H1 silently
+    (streams.py:155-161).
+    """
+    style = pagination_response_style
+    params: dict[str, Any] = {}
+    path = current_path
+    if style == "offset" or style == "style1":
+        if token is not None:
+            params[next_page_param or "offset"] = token
+        if page_size:
+            params[limit_per_page_param or "limit"] = page_size
+    elif style == "header_link":
+        if page_size:
+            params["per_page"] = page_size
+        if token:
+            # token is the query string of the next URL (pagination.py:220-226)
+            params.update({k: v[0] if len(v) == 1 else v for k, v in parse_qs(str(token)).items()})
+    elif style == "hateoas_body":
+        if token:
+            parsed = urlparse(str(token))
+            params.update({k: v[0] if len(v) == 1 else v for k, v in parse_qs(parsed.query).items()})
+            if parsed.path:
+                path = parsed.path  # stateful scan-target switch (streams.py:545-555)
+    else:  # "page", "default", and any UNKNOWN style (silent fallback)
+        if token is not None:
+            params[next_page_param or "page"] = token
+    return {"params": params, "path": path}
+
+
+def pages_to_slices(pages: list[WalPage]) -> list[tuple]:
+    """Planned pages -> (start_seq, end_seq] micro-batch ranges for
+    pipeline.run_batch_replay."""
+    return [p.seq_range for p in pages if p.seq_range is not None]

@@ -134,6 +134,9 @@ def write_wal_slices(
     files); a file-streaming source tails the directory in slice order.
     Returns slice paths in commit order.
     """
+    import glob
+    import shutil
+
     os.makedirs(wal_dir, exist_ok=True)
     bounds = df.agg(F.min(seq_col), F.max(seq_col)).collect()[0]
     lo, hi = bounds[0], bounds[1]
@@ -142,12 +145,18 @@ def write_wal_slices(
     for i in range(n_slices):
         s = lo + (span * i) // n_slices
         e = lo + (span * (i + 1)) // n_slices
-        slice_path = os.path.join(wal_dir, f"slice-{i:05d}.parquet")
+        tmp_dir = os.path.join(wal_dir, f".tmp-slice-{i:05d}")
         (
             df.filter((F.col(seq_col) >= s) & (F.col(seq_col) < e))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(slice_path)
+            .parquet(tmp_dir)
         )
+        # a WAL slice is ONE plain file (binlog-rotation model); the file
+        # streaming source lists plain files, not nested dirs
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        slice_path = os.path.join(wal_dir, f"slice-{i:05d}.parquet")
+        os.replace(part, slice_path)
+        shutil.rmtree(tmp_dir)
         paths.append(slice_path)
     return paths

@@ -1,0 +1,251 @@
+"""Exactly-once MERGE-upsert lake table over Parquet (SURVEY §4.1).
+
+No Iceberg/Delta jars ship in this sandbox, so this implements the minimal
+Iceberg-style contract the engine needs, behind an interface a real cluster
+can swap for ``MERGE INTO`` with zero pipeline changes:
+
+* **Atomic snapshot commit** — data files are written first, then a JSON
+  manifest (naming live files, schema, committed batch id, bookmarks) is
+  published by an atomic POSIX ``rename`` of the version pointer. Readers
+  only ever see a fully-committed snapshot.
+* **Idempotent batch ids** — ``merge_upsert(batch_id=...)`` is a no-op when
+  ``batch_id <= last_committed_batch_id``: the standard Structured
+  Streaming ``foreachBatch`` idempotent-sink contract; replay from any
+  checkpoint reconverges (north_rule). Merges are ALSO semantically
+  idempotent (LWW by (seq, commit)), so even out-of-ledger replays of old
+  events cannot corrupt state.
+* **Bucketed copy-on-write MERGE** — the table is hash-bucketed on the
+  merge keys; a batch only rewrites the buckets its keys touch. At 10^10
+  rows this is the difference between rewriting ~(batch_keys/num_buckets
+  fraction) of the table and rewriting all of it. Untouched buckets carry
+  their old files forward in the new manifest (metadata-only). The
+  bucket column is also how the merge join avoids a global shuffle: both
+  sides are pre-partitioned by the same function.
+* **Additive schema evolution** — manifest records the table schema; a
+  batch with new columns widens it via
+  :func:`tap_rest_api_msdk_spark.functions.infer.merge_schemas` (append
+  nullable, int->double widening, never narrow); old files are read with
+  missing columns as nulls.
+
+Single-writer assumption: one streaming query owns a table (the reference
+equally runs one tap process per config; Singer parallelism is per-stream,
+tap.py:454-553).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tap_rest_api_msdk_spark.functions.infer import merge_schemas
+from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+LATEST_POINTER = "_latest.json"
+
+
+class LakeTable:
+    """A bucketed, manifest-committed Parquet lake table with MERGE-upsert."""
+
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.num_buckets = num_buckets
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # manifest plumbing
+    # ------------------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, LATEST_POINTER)
+
+    def current_manifest(self) -> Optional[dict]:
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _publish(self, manifest: dict) -> None:
+        """Write manifest then atomically swing the pointer (POSIX rename)."""
+        version = manifest["version"]
+        mpath = os.path.join(self.path, "manifests", f"v{version:010d}.json")
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh)
+        tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, self._pointer_path())  # atomic commit point
+
+    @property
+    def last_committed_batch_id(self) -> int:
+        m = self.current_manifest()
+        return -1 if m is None else m.get("batch_id", -1)
+
+    def bookmarks(self) -> dict:
+        m = self.current_manifest()
+        return {} if m is None else m.get("bookmarks", {})
+
+    def schema(self) -> Optional[T.StructType]:
+        m = self.current_manifest()
+        if m is None or not m.get("schema"):
+            return None
+        return T.StructType.fromJson(m["schema"])
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def read(self, buckets: Optional[Sequence[int]] = None) -> Optional[DataFrame]:
+        """Snapshot read; optionally restricted to a set of buckets
+        (bucket pruning — the merge only reads what it may rewrite)."""
+        m = self.current_manifest()
+        if m is None:
+            return None
+        schema = T.StructType.fromJson(m["schema"])
+        files: list[str] = []
+        for b, flist in m["files"].items():
+            if buckets is None or int(b) in set(buckets):
+                files.extend(flist)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # schema evolution: read each file with the CURRENT table schema;
+        # parquet reader fills missing columns with null by name.
+        df = self.spark.read.schema(schema).parquet(*files)
+        return df
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _bucket_col(self, keys: Sequence[str]):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)).cast("int")
+
+    def merge_upsert(
+        self,
+        batch_df: DataFrame,
+        keys: Sequence[str],
+        order_by: Sequence[str],
+        batch_id: int,
+        op_col: Optional[str] = None,
+        bookmark_updates: Optional[dict] = None,
+        extra_manifest: Optional[dict] = None,
+    ) -> dict:
+        """LWW MERGE of a change batch into the table (exactly-once).
+
+        Returns a small stats dict (for the metrics/lineage table).
+        Semantics: per key, the row with max (order_by...) wins across
+        {existing table row} ∪ {batch rows}. Delete winners are PERSISTED
+        as tombstone rows (``op_col == 'delete'``) rather than dropped, so
+        a late lower-seq upsert arriving in a later batch cannot resurrect
+        a deleted key — replay converges regardless of batch boundaries.
+        ``to_df(drop_deletes=True)`` exposes the live state; compaction can
+        purge tombstones once the low watermark passes them.
+        """
+        m = self.current_manifest()
+        if batch_id <= (m["batch_id"] if m else -1):
+            return {"skipped": True, "batch_id": batch_id}
+
+        t0 = time.time()
+        # --- schema evolution (driver-side, metadata only)
+        batch_schema = T.StructType(
+            [f for f in batch_df.schema.fields if f.name != "__bucket"]
+        )
+        old_schema = self.schema()
+        new_schema = merge_schemas(old_schema, batch_schema) if old_schema else batch_schema
+
+        def align(df: DataFrame) -> DataFrame:
+            cols = []
+            have = {f.name: f for f in df.schema.fields}
+            for f in new_schema.fields:
+                if f.name in have:
+                    c = F.col(f.name)
+                    if have[f.name].dataType != f.dataType:
+                        c = c.cast(f.dataType)
+                    cols.append(c.alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols)
+
+        batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
+        # within-batch LWW first: shrinks the merge input to <=1 row/key
+        # with map-side partial aggregation before any wide operation
+        batch = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
+
+        affected = [r[0] for r in batch.select("__bucket").distinct().collect()]
+        existing = self.read(buckets=affected) if m else None
+
+        if existing is not None:
+            existing = align(existing).withColumn("__bucket", self._bucket_col(keys))
+            merged = lww_dedup(existing.unionByName(batch), list(keys) + ["__bucket"], order_by)
+        else:
+            merged = batch
+
+        # --- write new files for affected buckets only (copy-on-write)
+        epoch = (m["version"] + 1) if m else 0
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        (
+            merged.repartition(max(1, min(len(affected), self.num_buckets)), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+
+        # collect written files per bucket
+        new_files: dict[str, list[str]] = {}
+        for b in affected:
+            bdir = os.path.join(out_dir, f"__bucket={b}")
+            if os.path.isdir(bdir):
+                new_files[str(b)] = [
+                    os.path.join(bdir, f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                new_files[str(b)] = []  # bucket fully deleted by tombstones
+
+        files = dict(m["files"]) if m else {}
+        for b in affected:
+            files[str(b)] = new_files[str(b)]
+
+        bookmarks = dict(m.get("bookmarks", {})) if m else {}
+        bookmarks.update(bookmark_updates or {})
+
+        manifest = {
+            "version": epoch,
+            "batch_id": batch_id,
+            "committed_at": time.time(),
+            "schema": new_schema.jsonValue(),
+            "files": files,
+            "bookmarks": bookmarks,
+            "num_buckets": self.num_buckets,
+            "keys": list(keys),
+            "order_by": list(order_by),
+            "op_col": op_col,
+            **(extra_manifest or {}),
+        }
+        self._publish(manifest)
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "version": epoch,
+            "affected_buckets": len(affected),
+            "merge_seconds": time.time() - t0,
+        }
+
+    # convenience for tests / oracle comparison
+    def to_df(self, drop_deletes: bool = True) -> Optional[DataFrame]:
+        """Live state of the table (tombstones filtered by default)."""
+        df = self.read()
+        if df is None:
+            return None
+        m = self.current_manifest()
+        op_col = m.get("op_col") if m else None
+        if drop_deletes and op_col and op_col in df.columns:
+            df = df.filter(F.col(op_col) != F.lit("delete"))
+        return df

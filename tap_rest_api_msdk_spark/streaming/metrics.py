@@ -1,0 +1,49 @@
+"""Per-partition lineage metrics (north_star requirement).
+
+Each committed micro-batch appends one row per key-bucket to a metrics
+parquet table: source offset range, event count, payload bytes, max
+replication key, event-time watermark. Computed with a single hash
+aggregate (map-side combined) — negligible vs the merge itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lineage_metrics(
+    batch_df: DataFrame,
+    bucket_col: str,
+    rk_col: str,
+    ts_col: Optional[str] = None,
+    bytes_col: Optional[str] = None,
+) -> DataFrame:
+    aggs = [
+        F.count(F.lit(1)).alias("event_count"),
+        F.min(rk_col).alias("offset_start"),
+        F.max(rk_col).alias("offset_end"),
+        F.max(rk_col).alias("max_replication_key"),
+    ]
+    if ts_col:
+        aggs.append(F.max(ts_col).alias("watermark"))
+    if bytes_col:
+        aggs.append(F.sum(F.length(F.col(bytes_col)).cast("long")).alias("payload_bytes"))
+    return batch_df.groupBy(F.col(bucket_col).alias("partition_id")).agg(*aggs)
+
+
+def append_metrics(metrics_df: DataFrame, table_path: str, batch_id: int, stream: str) -> None:
+    out = metrics_df.withColumn("batch_id", F.lit(batch_id)).withColumn(
+        "stream", F.lit(stream)
+    )
+    out.write.mode("append").parquet(os.path.join(table_path, "metrics"))
+
+
+def read_metrics(spark, table_path: str) -> Optional[DataFrame]:
+    p = os.path.join(table_path, "metrics")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p)

@@ -1,0 +1,169 @@
+"""E2 analog — the engine's extract loop (SURVEY §3).
+
+Reference loop: paginator -> request -> parse_response -> post_process ->
+RECORD/STATE **[inherited: singer-sdk, §2.4]**. Spark loop (per micro-batch):
+
+  scan WAL slice (start,end] -> filter(rk > bookmark) -> flatten(payload) ->
+  within-batch LWW -> LakeTable.merge_upsert (idempotent batch id, bookmark
+  + lineage committed atomically with the data)
+
+Two drivers share the exact same batch processor:
+
+* :func:`run_batch_replay` — deterministic replay over a WAL DataFrame in
+  planner-supplied slices (tests, bench, and bootstrap/backfill).
+* :func:`run_streaming` — ``readStream`` file source tailing the WAL dir +
+  ``foreachBatch``; Spark's checkpoint supplies offsets, the manifest's
+  batch-id ledger supplies idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tap_rest_api_msdk_spark.functions.flatten import flatten_dataframe
+from tap_rest_api_msdk_spark.operators.incremental import incremental_filter
+from tap_rest_api_msdk_spark.streaming.bookmarks import BookmarkStore
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+from tap_rest_api_msdk_spark.streaming.metrics import append_metrics, lineage_metrics
+
+
+@dataclass
+class PipelineConfig:
+    """Resolved engine config for one stream (F6 analog at the Spark layer)."""
+
+    stream: str
+    keys: Sequence[str] = ("repo", "path")
+    replication_key: str = "seq"
+    order_by: Sequence[str] = ("seq", "commit")  # deterministic LWW tie-break
+    op_col: Optional[str] = "op"
+    payload_col: Optional[str] = "payload"
+    payload_schema: Optional[T.StructType] = None
+    except_keys: list = field(default_factory=list)
+    store_raw_json_message: bool = False
+    start_date: Any = ""
+    ts_col: Optional[str] = "ts"
+    result_limit: Optional[int] = None
+    num_buckets: int = 16
+
+
+def prepare_batch(df: DataFrame, conf: PipelineConfig, bookmark: Any) -> DataFrame:
+    """bookmark filter -> flatten: the record-shaping stage (F10 + F1)."""
+    out = incremental_filter(df, conf.replication_key, bookmark)
+    if conf.payload_col and conf.payload_schema is not None:
+        keep = [c for c in df.columns if c != conf.payload_col]
+        out = flatten_dataframe(
+            out,
+            conf.payload_col,
+            conf.payload_schema,
+            except_keys=conf.except_keys,
+            keep_cols=keep,
+            store_raw_json_message=conf.store_raw_json_message,
+        )
+    return out
+
+
+def process_batch(
+    table: LakeTable, conf: PipelineConfig, batch_df: DataFrame, batch_id: int
+) -> dict:
+    """One idempotent micro-batch commit (data + bookmarks + lineage)."""
+    store = BookmarkStore(table, conf.stream, conf.start_date)
+    bookmark = store.get()
+    shaped = prepare_batch(batch_df, conf, bookmark)
+
+    # lineage + high-watermark in ONE pass over the shaped batch
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in conf.keys]), F.lit(conf.num_buckets)
+    ).cast("int")
+    metrics_df = lineage_metrics(
+        shaped.withColumn("__p", bucket),
+        "__p",
+        conf.replication_key,
+        ts_col=conf.ts_col if conf.ts_col in shaped.columns else None,
+        bytes_col="content" if "content" in shaped.columns else None,
+    ).cache()
+    mrows = metrics_df.collect()
+    if not mrows:
+        metrics_df.unpersist()
+        return {"skipped": True, "empty": True, "batch_id": batch_id}
+    hw = max(r["max_replication_key"] for r in mrows)
+    per_part = {r["partition_id"]: r["max_replication_key"] for r in mrows}
+
+    stats = table.merge_upsert(
+        shaped,
+        keys=conf.keys,
+        order_by=conf.order_by,
+        batch_id=batch_id,
+        op_col=conf.op_col,
+        bookmark_updates=store.updates_for(hw, per_part),
+    )
+    if not stats.get("skipped"):
+        append_metrics(metrics_df, table.path, batch_id, conf.stream)
+    metrics_df.unpersist()
+    stats["rows_high_watermark"] = hw
+    return stats
+
+
+def run_batch_replay(
+    spark: SparkSession,
+    wal_df: DataFrame,
+    table_path: str,
+    conf: PipelineConfig,
+    slices: Optional[Sequence[tuple]] = None,
+    start_batch_id: int = 0,
+) -> LakeTable:
+    """Replay a bounded WAL through the same batch processor.
+
+    ``slices`` — optional list of (start_seq, end_seq] ranges from the
+    offset planner (plans/planner.py); default = one batch for the lot.
+    """
+    table = LakeTable(spark, table_path, num_buckets=conf.num_buckets)
+    rk = conf.replication_key
+    if slices is None:
+        process_batch(table, conf, wal_df, start_batch_id)
+        return table
+    for i, (s, e) in enumerate(slices):
+        sl = wal_df.filter((F.col(rk) > F.lit(s)) & (F.col(rk) <= F.lit(e)))
+        process_batch(table, conf, sl, start_batch_id + i)
+    return table
+
+
+def run_streaming(
+    spark: SparkSession,
+    wal_dir: str,
+    wal_schema: T.StructType,
+    table_path: str,
+    conf: PipelineConfig,
+    checkpoint_dir: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = 1,
+    available_now: bool = True,
+):
+    """Tail the WAL directory with a file-streaming source.
+
+    ``maxFilesPerTrigger`` is the engine's ``pagination_page_size``
+    (SURVEY §1.1); ``Trigger.AvailableNow`` drains the backlog then stops
+    (the P7 single-page one-shot analog) — set ``available_now=False`` for
+    a continuously-running tail.
+    """
+    table = LakeTable(spark, table_path, num_buckets=conf.num_buckets)
+    reader = spark.readStream.schema(wal_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(wal_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(table, conf, batch_df, batch_id)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir or os.path.join(table_path, "_checkpoint")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return table, q
+    return table, writer.start()

@@ -1,0 +1,131 @@
+"""LakeTable: atomic manifest commit, idempotent batch ids, LWW merge,
+tombstone persistence, additive schema evolution (SURVEY §4.1-4.2, M4/M6).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+SCHEMA = "seq long, repo string, path string, commit string, op string, content string"
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+
+
+KEYS = ["repo", "path"]
+ORDER = ["seq", "commit"]
+
+
+def test_basic_merge_and_read(spark, table):
+    b0 = mk(spark, [(1, "r1", "a", "c1", "upsert", "v1"), (2, "r1", "b", "c2", "upsert", "v2")])
+    stats = table.merge_upsert(b0, KEYS, ORDER, batch_id=0, op_col="op")
+    assert not stats["skipped"]
+    got = {(r.repo, r.path): r.content for r in table.to_df().collect()}
+    assert got == {("r1", "a"): "v1", ("r1", "b"): "v2"}
+
+
+def test_lww_across_batches_and_within(spark, table):
+    table.merge_upsert(
+        mk(spark, [(1, "r1", "a", "c1", "upsert", "old"), (3, "r1", "a", "c3", "upsert", "mid")]),
+        KEYS, ORDER, batch_id=0, op_col="op",
+    )
+    # batch 1: a lower-seq event must NOT overwrite; a higher-seq must
+    table.merge_upsert(
+        mk(spark, [(2, "r1", "a", "c2", "upsert", "stale"), (5, "r1", "b", "c5", "upsert", "new")]),
+        KEYS, ORDER, batch_id=1, op_col="op",
+    )
+    got = {(r.repo, r.path): (r.seq, r.content) for r in table.to_df().collect()}
+    assert got[("r1", "a")] == (3, "mid")
+    assert got[("r1", "b")] == (5, "new")
+
+
+def test_idempotent_batch_id_replay(spark, table):
+    b = mk(spark, [(1, "r1", "a", "c1", "upsert", "v1")])
+    table.merge_upsert(b, KEYS, ORDER, batch_id=7, op_col="op")
+    v1 = table.current_manifest()["version"]
+    # replaying the same or an older batch id must be a metadata no-op
+    s2 = table.merge_upsert(
+        mk(spark, [(99, "r1", "a", "c9", "upsert", "SHOULD_NOT_APPEAR")]),
+        KEYS, ORDER, batch_id=7, op_col="op",
+    )
+    s3 = table.merge_upsert(b, KEYS, ORDER, batch_id=3, op_col="op")
+    assert s2["skipped"] and s3["skipped"]
+    assert table.current_manifest()["version"] == v1
+    assert table.to_df().collect()[0].content == "v1"
+
+
+def test_delete_tombstone_blocks_late_resurrection(spark, table):
+    table.merge_upsert(
+        mk(spark, [(1, "r1", "a", "c1", "upsert", "v1")]), KEYS, ORDER, 0, op_col="op"
+    )
+    table.merge_upsert(
+        mk(spark, [(9, "r1", "a", "c9", "delete", None)]), KEYS, ORDER, 1, op_col="op"
+    )
+    assert table.to_df().count() == 0
+    # late, lower-seq upsert in a LATER batch: tombstone must win
+    table.merge_upsert(
+        mk(spark, [(5, "r1", "a", "c5", "upsert", "late")]), KEYS, ORDER, 2, op_col="op"
+    )
+    assert table.to_df().count() == 0
+    # a genuinely newer upsert resurrects the key
+    table.merge_upsert(
+        mk(spark, [(12, "r1", "a", "c12", "upsert", "back")]), KEYS, ORDER, 3, op_col="op"
+    )
+    assert [r.content for r in table.to_df().collect()] == ["back"]
+
+
+def test_copy_on_write_only_affected_buckets(spark, table):
+    rows = [(i, f"r{i}", f"p{i}", f"c{i}", "upsert", f"v{i}") for i in range(20)]
+    table.merge_upsert(mk(spark, rows), KEYS, ORDER, 0, op_col="op")
+    m0 = table.current_manifest()
+    # second batch touches exactly one key -> at most one bucket rewritten
+    table.merge_upsert(
+        mk(spark, [(100, "r1", "p1", "cx", "upsert", "v1b")]), KEYS, ORDER, 1, op_col="op"
+    )
+    m1 = table.current_manifest()
+    changed = [b for b in m1["files"] if m1["files"][b] != m0["files"].get(b)]
+    assert len(changed) == 1
+    got = {(r.repo, r.path): r.content for r in table.to_df().collect()}
+    assert got[("r1", "p1")] == "v1b" and got[("r2", "p2")] == "v2"
+
+
+def test_schema_evolution_additive_and_widening(spark, table):
+    table.merge_upsert(
+        mk(spark, [(1, "r1", "a", "c1", "upsert", "v1")]), KEYS, ORDER, 0, op_col="op"
+    )
+    evolved = spark.createDataFrame(
+        [(2, "r2", "b", "c2", "upsert", "v2", 42, 1.5)],
+        SCHEMA + ", stars long, size double",
+    )
+    table.merge_upsert(evolved, KEYS, ORDER, 1, op_col="op")
+    df = table.to_df()
+    assert "stars" in df.columns and "size" in df.columns
+    rows = {r.repo: r for r in df.collect()}
+    assert rows["r1"].stars is None  # old rows backfilled with null
+    assert rows["r2"].stars == 42
+    # widening: a later long batch for 'size' keeps double (never narrow)
+    again = spark.createDataFrame(
+        [(3, "r3", "c", "c3", "upsert", "v3", 1, 7)], SCHEMA + ", stars long, size long"
+    )
+    table.merge_upsert(again, KEYS, ORDER, 2, op_col="op")
+    assert dict(table.to_df().dtypes)["size"] == "double"
+
+
+def test_atomic_pointer_readers_never_see_partial(spark, table, tmp_path):
+    table.merge_upsert(
+        mk(spark, [(1, "r1", "a", "c1", "upsert", "v1")]), KEYS, ORDER, 0, op_col="op"
+    )
+    m = table.current_manifest()
+    # pointer file is valid JSON at all times (atomic rename, no in-place write)
+    assert m["batch_id"] == 0 and m["version"] == 0
+    # a second table handle (fresh "reader") sees the committed snapshot
+    reader = LakeTable(spark, table.path, num_buckets=4)
+    assert reader.to_df().count() == 1

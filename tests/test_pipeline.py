@@ -1,0 +1,145 @@
+"""End-to-end pipeline: batch replay == streaming == DuckDB oracle;
+checkpoint resumption; exactly-once under replay (SURVEY §5.2-5.5, north_rule
+sha256 invariant).
+
+The full stage chain runs in every test: WAL scan -> bookmark filter ->
+native flatten of the JSON payload -> LWW merge into the lake table.
+"""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal, write_wal_slices
+from tap_rest_api_msdk_spark.streaming.metrics import read_metrics
+from tap_rest_api_msdk_spark.streaming.pipeline import (
+    PipelineConfig,
+    process_batch,
+    run_batch_replay,
+    run_streaming,
+)
+
+N_EVENTS = 5000
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wal"))
+    synth_repo_wal(spark, N_EVENTS, n_repos=10, n_paths=40, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(d + "/full")
+    wal_df = spark.read.parquet(d + "/full")
+    payload_schema = spark.read.json(
+        wal_df.limit(100).select("payload").rdd.map(lambda r: r[0])
+    ).schema
+    return wal_df, d, payload_schema
+
+
+def conf(payload_schema, **kw):
+    return PipelineConfig(
+        stream="repo_wal", payload_col="payload", payload_schema=payload_schema, **kw
+    )
+
+
+# final state per (repo,path): latest non-deleted by (seq, commit);
+# the north_rule invariant is sha256 of the content field
+ORACLE_FINAL_STATE = """
+    with ranked as (
+        select *, row_number() over (
+            partition by repo, path order by seq desc, commit desc
+        ) as rn
+        from wal
+    )
+    select repo, path, seq, commit,
+           sha256(json_extract_string(payload, '$.content')) as content_sha
+    from ranked where rn = 1 and op <> 'delete'
+"""
+
+
+def oracle_state(wal_path):
+    con = duckdb.connect()
+    con.sql(
+        f"create view wal as select * from read_parquet('{wal_path}/full/*.parquet')"
+    )
+    rows = con.sql(ORACLE_FINAL_STATE).fetchall()
+    return {(r[0], r[1]): (r[2], r[3], r[4]) for r in rows}
+
+
+def spark_state(table):
+    df = table.to_df().select(
+        "repo", "path", "seq", "commit", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+    return {(r.repo, r.path): (r.seq, r.commit, r.content_sha) for r in df.collect()}
+
+
+def test_one_shot_replay_matches_oracle(spark, wal, tmp_path):
+    wal_df, wal_path, ps = wal
+    table = run_batch_replay(spark, wal_df, str(tmp_path / "t"), conf(ps))
+    assert spark_state(table) == oracle_state(wal_path)
+
+
+def test_sliced_replay_matches_oracle_bookmarks_metrics(spark, wal, tmp_path):
+    wal_df, wal_path, ps = wal
+    slices = [(-1, 1000), (1000, 2500), (2500, N_EVENTS)]
+    table = run_batch_replay(spark, wal_df, str(tmp_path / "t"), conf(ps), slices=slices)
+    assert spark_state(table) == oracle_state(wal_path)
+    assert table.bookmarks()["repo_wal"] == N_EVENTS - 1
+    m = read_metrics(spark, table.path)
+    assert m.agg(F.sum("event_count")).collect()[0][0] == N_EVENTS
+    assert m.select("batch_id").distinct().count() == 3
+    assert m.filter(F.col("payload_bytes") <= 0).count() == 0
+
+
+def test_replayed_slice_is_exactly_once(spark, wal, tmp_path):
+    wal_df, wal_path, ps = wal
+    slices = [(-1, 2500), (2500, N_EVENTS)]
+    table = run_batch_replay(spark, wal_df, str(tmp_path / "t"), conf(ps), slices=slices)
+    before = spark_state(table)
+    v = table.current_manifest()["version"]
+    stats = process_batch(table, conf(ps), wal_df.filter(F.col("seq") <= 2500), batch_id=0)
+    assert stats["skipped"]
+    assert table.current_manifest()["version"] == v
+    assert spark_state(table) == before
+
+
+def test_streaming_matches_oracle_and_resumes(spark, wal, tmp_path):
+    wal_df, wal_path, ps = wal
+    stream_dir = str(tmp_path / "walstream")
+    os.makedirs(stream_dir)
+    all_slices = write_wal_slices(wal_df, str(tmp_path / "slices"), 6)
+    schema = wal_df.schema
+    ckpt = str(tmp_path / "ckpt")
+    tpath = str(tmp_path / "t")
+
+    # phase 1: only the first 3 slices exist; drain, "crash"
+    for s in all_slices[:3]:
+        os.rename(s, os.path.join(stream_dir, os.path.basename(s)))
+    table, _ = run_streaming(
+        spark, stream_dir, schema, tpath, conf(ps), checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    assert table.to_df().count() > 0
+
+    # phase 2 (restart): remaining slices arrive, same checkpoint
+    for s in all_slices[3:]:
+        os.rename(s, os.path.join(stream_dir, os.path.basename(s)))
+    table, _ = run_streaming(
+        spark, stream_dir, schema, tpath, conf(ps), checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    assert spark_state(table) == oracle_state(wal_path)
+
+    # phase 3: FRESH checkpoint replays everything against the same table;
+    # LWW + batch-id ledger must reconverge, not duplicate or corrupt
+    table, _ = run_streaming(
+        spark, stream_dir, schema, tpath, conf(ps),
+        checkpoint_dir=str(tmp_path / "ckpt2"), max_files_per_trigger=2,
+    )
+    assert spark_state(table) == oracle_state(wal_path)
+
+
+def test_flattened_columns_land_in_table(spark, wal, tmp_path):
+    wal_df, _, ps = wal
+    table = run_batch_replay(spark, wal_df.limit(500), str(tmp_path / "t"), conf(ps))
+    cols = set(table.to_df().columns)
+    assert {"content", "metadata_author_name", "metadata_lang", "metadata_size", "tags"} <= cols
