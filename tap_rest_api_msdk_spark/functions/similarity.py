@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: native ``zip_with`` /
+  ``aggregate`` dot products over a (broadcast) query set. The correctness
+  baseline, and the right plan whenever |queries| is small: broadcast the
+  queries, one pass over the corpus, per-partition top-k via window.
+* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane (sign) LSH
+  buckets both sides; candidates meet only within matching buckets
+  (multi-probe across ``n_tables`` independent tables for recall), then
+  exact cosine re-rank. At 10^10 vectors the bucket join replaces the
+  O(n·q) scan with O(collisions).
+
+Hyperplanes are Rademacher ±1 vectors derived from a seeded generator —
+deterministic across runs/executors (they ship as literal arrays).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+
+    The query side is broadcast — the corpus is scanned once, no shuffle
+    until the final per-query top-k (tiny: |queries| * k rows).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1.0, 1.0))) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    bits = [
+        F.when(dot(vec, F.lit(p).cast("array<double>")) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
+
+    Both sides get ``n_tables`` bucket ids; the join meets on
+    (table, bucket) — the only shuffle is keyed by bucket, and candidate
+    volume is tunable via n_planes (bucket granularity) x n_tables (recall).
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idc: str, vc: str, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature(F.col(vc), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vc).alias(out_vec), F.explode(buckets).alias("b")
+        ).select(out_id, out_vec, "b.tbl", "b.bucket")
+
+    c = with_buckets(corpus, id_col, vec_col, "neighbor_id", "cv")
+    q = with_buckets(queries, id_col, vec_col, "query_id", "qv")
+    cands = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_neardups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + verify."""
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), lsh_signature(F.col(vec_col), tables[t]).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("b")).select(
+        "id", "v", "b.tbl", "b.bucket"
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("a.v").alias("va"), F.col("b.id").alias("id_b"), F.col("b.v").alias("vb"))
+        .distinct()
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs

@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are NATIVE ``pyspark.sql.functions`` column
+expressions (JVM-side, whole-stage codegen) — zero Python on row data.
+Each operator has an exact ANSI-SQL twin registered in
+``__spark_entry__.oracle_sql`` so DuckDB verifies values byte-for-byte.
+
+Operators (engine extensions beyond the reference tap, which is ingest-only;
+analog surface: the tap's flatten/`records_path` are its only "text" ops):
+
+* token counting   — whitespace tokens + a BPE-ish regex token count
+* quality scoring  — length / punctuation ratio / stopword ratio /
+                     uppercase ratio composite
+* language ID      — stopword-hit n-gram heuristic over {en, fr, de, es}
+* fingerprinting   — md5 of whitespace-normalized lowercase text
+                     (document-level content fingerprint for dedup joins)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, deterministic stopword lists (shared with the SQL oracle)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+# BPE-ish lexer: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish lexer tokens (regexp_extract_all, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(ws_tokens(text), lambda x: x.isin(*[F.lit(w) for w in words]))
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    ) / F.length(text)
+
+
+def upper_ratio(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    ) / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite in [0,1]: long enough, punctuation-sane, stopword-bearing,
+    not shouting. Deterministic closed form (shared with the SQL oracle)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text, "en") * F.lit(4.0), F.lit(1.0))
+    upper_term = F.lit(1.0) - F.least(upper_ratio(text) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        (length_term + punct_term + stop_term + upper_term) / F.lit(4.0), 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax over {en,fr,de,es}; ties resolve in that order;
+    zero hits everywhere -> 'und' (undetermined)."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # build reversed so earlier langs win ties via later when() precedence
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of lowercase, whitespace-collapsed text — the exact-dedup key.
+
+    Collapse BEFORE trim: ``trim`` only strips spaces, so tabs/newlines at
+    the edges must first become spaces."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+def analyze(df, text_col: str = "text"):
+    """Attach all text-analysis columns in one pass."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,85 @@
+"""Similarity search over the embeddings table: exact brute-force vs DuckDB
+oracle; LSH recall vs exact.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.functions.similarity import (
+    cosine_topk,
+    embedding_neardups,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_duckdb(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    want = {}
+    for qid, rank, nid, cos in duckdb.sql(
+        f"""
+        with e as (select * from read_parquet('{SF_DIR}/embeddings.parquet')),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   list_cosine_similarity(q.embedding, c.embedding) as cos
+            from e q join e c on c.vec_id <> q.vec_id
+            where q.vec_id < 5
+        ), ranked as (
+            select *, row_number() over (
+                partition by query_id order by cos desc, neighbor_id asc
+            ) as rank from scored
+        )
+        select query_id, rank, neighbor_id, round(cos, 6) from ranked where rank <= 5
+        """
+    ).fetchall():
+        want[(qid, rank)] = (nid, cos)
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-5
+
+
+def test_lsh_topk_recall_vs_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # random embeddings: true top-k neighbors sit at cos≈0.4 (θ≈66°), so
+    # per-table collision p=(1-θ/π)^planes ≈ 0.14 with 4 planes; 16 tables
+    # -> expected recall ≈ 1-(1-0.14)^16 ≈ 0.9. Real near-dup workloads
+    # (cos>=0.95) reach the same recall with 8-12 planes and 4 tables.
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_neardups_self_consistent(spark, emb):
+    # plant a near-identical pair: vec 0 and a copy with tiny noise
+    v0 = emb.filter(F.col("vec_id") == 0)
+    planted = v0.select(
+        F.lit(99999).cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    df = emb.unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardups(df, threshold=0.99, dim=64, n_planes=8, n_tables=6).collect()
+    }
+    assert (0, 99999) in pairs
+    assert pairs[(0, 99999)] > 0.999

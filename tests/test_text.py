@@ -1,0 +1,86 @@
+"""Text-analysis operators on the real documents table + DuckDB parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.functions.text import analyze
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_analyze_schema_and_ranges(docs):
+    out = analyze(docs).cache()
+    rows = out.limit(2000).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens > 0
+        assert r.n_bpe_tokens >= r.n_tokens - 1  # lexer splits at least as fine
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+        assert r.lang_pred in {"en", "fr", "de", "es", "und"}
+        assert len(r.fingerprint) == 32
+    out.unpersist()
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO\tWORLD \n")],
+        "doc_id long, text string",
+    )
+    fps = [r.fingerprint for r in analyze(df).select("fingerprint").collect()]
+    assert len(set(fps)) == 1
+
+
+def test_token_count_matches_duckdb(docs):
+    got = {
+        r.doc_id: r.n_tokens
+        for r in analyze(docs).select("doc_id", "n_tokens").collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""
+            select doc_id,
+                   len(regexp_split_to_array(lower(trim(text)), '\\s+')) as n
+            from read_parquet('{SF_DIR}/documents.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lang_id_on_planted_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of to in is that"),
+            (2, "le chat et la maison de que pour une"),
+            (3, "der hund und die katze ist von mit"),
+            (4, "el gato y la casa es que por un una"),
+            (5, "zzzz qqqq xxxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in analyze(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+
+
+def test_quality_prefers_clean_prose(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is a fine day for running in the field " * 5),
+            (2, "!!! ??? ... ;;; :::"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality for r in analyze(df).collect()}
+    assert got[1] > got[2]
+
+
+def test_text_analysis_plan_is_native(docs):
+    plan = analyze(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
