@@ -1,0 +1,273 @@
+"""Registered operator queries for the driver's correctness gate.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+NAMES and VALUES match the DuckDB oracle SQL in ``__spark_entry__.oracle_sql``
+(the driver hashes values after sorting columns by name).
+
+Cross-engine determinism rules used throughout:
+* money/double aggregations go through ``decimal`` per-row casts so the
+  distributed sum is exact, then back to double (no float-order drift);
+* doubles exposed directly are ``round(x, 6)`` (or 4 for cosines) on both
+  sides, computed from identical IEEE double expressions;
+* regexp semantics: Spark replaces all matches by default, DuckDB needs
+  the ``'g'`` flag — the oracle SQL carries it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.functions import text as TX
+from tap_rest_api_msdk_spark.functions.similarity import cosine, cosine_topk, lsh_bucketed_topk
+from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+from tap_rest_api_msdk_spark.operators.incremental import incremental_filter, result_limit
+from tap_rest_api_msdk_spark.operators.neardup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    simhash_neardups,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC / reference-semantics operators (events = WAL stand-in, FX5)
+# ---------------------------------------------------------------------------
+
+def q_lww_latest_state(spark, sf_dir):
+    """F9: last-writer-wins latest event per user_id by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup(ev, ["user_id"], ["event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "props"
+    )
+
+
+def q_incremental_filter(spark, sf_dir):
+    """F10: replication-key pushdown filter (bookmark = 5000)."""
+    ev = _t(spark, sf_dir, "events")
+    return incremental_filter(ev, "event_id", 5000).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def q_flatten_props(spark, sf_dir):
+    """F1/F7: JSON payload field promotion (known-schema native path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+
+
+def q_result_limit(spark, sf_dir):
+    """F11: deterministic result cap (ordered by replication key)."""
+    ev = _t(spark, sf_dir, "events").orderBy("event_id")
+    return result_limit(ev, 100).select("event_id", "user_id", "event_type")
+
+
+def q_bookmark_state(spark, sf_dir):
+    """F3/§2.4: per-stream STATE — max replication key + truncated
+    datetime serialization (utils.py:113 parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("event_id").alias("bookmark"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("bookmark_str"),
+    )
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """Per-partition lineage: offset range, count, watermark (north_star)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("partition_id", F.pmod(F.col("user_id"), F.lit(16)).cast("long"))
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min("event_id").alias("offset_start"),
+            F.max("event_id").alias("offset_end"),
+            F.max("ts").alias("watermark"),
+        )
+    )
+
+
+def q_window_lag_delta(spark, sf_dir):
+    """Window-function coverage: per-user event-over-event value delta."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Scale-path near-dup (no SQL oracle: xxhash64 is Spark-specific;
+    correctness pinned by tests/test_neardup.py recall-vs-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardups(docs, "doc_id", "text", max_hamming=6, prefix_bits=12)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    # cast to long: DuckDB len() yields BIGINT, Spark size() yields INT
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),  # DuckDB row_number is BIGINT
+    )
+
+
+def q_embedding_pairs_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs (bounded subset — correctness twin of
+    the LSH scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    ).filter(F.col("vec_id") < 200).select("vec_id", "v")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (no SQL oracle — recall pinned vs exact in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=16)
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (the MERGE machinery's building blocks)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the partial-agg/shuffle path the LWW merge uses.
+    Decimal-exact sums -> double (cross-engine deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcastable dims)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_join_enrich_broadcast(spark, sf_dir):
+    """Broadcast-join enrichment: customers per nation/region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -45,9 +45,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tap_rest_api_msdk_spark.functions.infer import merge_schemas
-from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 
 LATEST_POINTER = "_latest.json"
+
+
+def mm3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark-compatible Murmur3_x86_32 hash of a 32-bit int (signed result).
+
+    Mirrors ``org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt`` — the
+    function behind ``HashPartitioning`` / ``F.hash`` — so the driver can
+    compute which shuffle partition (and therefore which output file) each
+    bucket id landed in, without an extra Spark job. Verified against
+    ``F.hash`` and ``spark_partition_id`` in tests/test_laketable.py.
+    """
+    mask = 0xFFFFFFFF
+    k = value & mask
+    k = (k * 0xCC9E2D51) & mask
+    k = ((k << 15) | (k >> 17)) & mask
+    k = (k * 0x1B873593) & mask
+    h = seed & mask
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & mask
+    h = (h * 5 + 0xE6546B64) & mask
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def bucket_to_partition(bucket: int, num_partitions: int) -> int:
+    """pmod(murmur3(bucket), K) — HashPartitioning's partition assignment."""
+    return mm3_hash_int(bucket) % num_partitions
 
 
 class LakeTable:
@@ -103,21 +134,27 @@ class LakeTable:
     # read path
     # ------------------------------------------------------------------
     def read(self, buckets: Optional[Sequence[int]] = None) -> Optional[DataFrame]:
-        """Snapshot read; optionally restricted to a set of buckets
-        (bucket pruning — the merge only reads what it may rewrite)."""
+        """Snapshot read (with ``__bucket`` column); optionally restricted
+        to a set of buckets — only that subset's files are listed (bucket
+        pruning), and because a file may be shared by several colliding
+        buckets, a residual ``__bucket IN (...)`` filter keeps exactly the
+        requested rows."""
         m = self.current_manifest()
         if m is None:
             return None
         schema = T.StructType.fromJson(m["schema"])
-        files: list[str] = []
+        stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
+        files: set[str] = set()
         for b, flist in m["files"].items():
             if buckets is None or int(b) in set(buckets):
-                files.extend(flist)
+                files.update(flist)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], stored)
         # schema evolution: read each file with the CURRENT table schema;
         # parquet reader fills missing columns with null by name.
-        df = self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(stored).parquet(*sorted(files))
+        if buckets is not None:
+            df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
         return df
 
     # ------------------------------------------------------------------
@@ -135,6 +172,7 @@ class LakeTable:
         op_col: Optional[str] = None,
         bookmark_updates: Optional[dict] = None,
         extra_manifest: Optional[dict] = None,
+        affected_buckets: Optional[Sequence[int]] = None,
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
 
@@ -173,45 +211,59 @@ class LakeTable:
             return df.select(*cols)
 
         batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
-        # within-batch LWW first: shrinks the merge input to <=1 row/key
-        # with map-side partial aggregation before any wide operation
-        batch = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
 
-        affected = [r[0] for r in batch.select("__bucket").distinct().collect()]
-        existing = self.read(buckets=affected) if m else None
-
-        if existing is not None:
-            existing = align(existing).withColumn("__bucket", self._bucket_col(keys))
-            merged = lww_dedup(existing.unionByName(batch), list(keys) + ["__bucket"], order_by)
+        if affected_buckets is not None:
+            # caller already knows the touched buckets (e.g. from its
+            # lineage-metrics pass) — skip the extra distinct scan
+            affected = [int(b) for b in affected_buckets]
         else:
-            merged = batch
+            affected = [int(r[0]) for r in batch.select("__bucket").distinct().collect()]
+
+        if m:
+            existing = self.read(buckets=affected).drop("__bucket")
+            # re-derive the bucket after align (same pure function of keys)
+            ex_aligned = align(existing).withColumn("__bucket", self._bucket_col(keys))
+            all_rows = ex_aligned.unionByName(batch)
+        else:
+            all_rows = batch
+
+        # --- single-shuffle LWW merge (SURVEY §4.3 physical plan):
+        # one hash exchange on __bucket (co-locates every row of a key),
+        # then an in-partition sort (__bucket, keys..., order_by desc) and a
+        # first-row-per-key filter via lag(). No second exchange: the write
+        # consumes the bucket-clustered layout directly, and the sort doubles
+        # as the file order (contiguous __bucket runs -> row-group stats).
+        # Skew note: a pathologically hot KEY still lands in one partition;
+        # operators/dedup.lww_dedup_salted pre-shrinks such batches first.
+        from pyspark.sql import Window
+
+        k_parts = max(1, min(len(affected), self.num_buckets))
+        rep = all_rows.repartition(k_parts, "__bucket")
+        w = Window.partitionBy("__bucket").orderBy(
+            *[F.col(k).asc() for k in keys],
+            *[F.col(o).desc() for o in order_by],
+        )
+        key_changed = F.lit(False)
+        for k in keys:
+            lagged = F.lag(F.col(k)).over(w)
+            key_changed = key_changed | lagged.isNull() | (lagged != F.col(k))
+        merged = rep.withColumn("__first", key_changed).filter(F.col("__first")).drop("__first")
 
         # --- write new files for affected buckets only (copy-on-write)
         epoch = (m["version"] + 1) if m else 0
         out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
-        (
-            merged.repartition(max(1, min(len(affected), self.num_buckets)), "__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(out_dir)
-        )
+        merged.write.mode("overwrite").parquet(out_dir)
 
-        # collect written files per bucket
-        new_files: dict[str, list[str]] = {}
-        for b in affected:
-            bdir = os.path.join(out_dir, f"__bucket={b}")
-            if os.path.isdir(bdir):
-                new_files[str(b)] = [
-                    os.path.join(bdir, f)
-                    for f in sorted(os.listdir(bdir))
-                    if f.endswith(".parquet")
-                ]
-            else:
-                new_files[str(b)] = []  # bucket fully deleted by tombstones
+        # map buckets -> written files via HashPartitioning's assignment
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
         files = dict(m["files"]) if m else {}
         for b in affected:
-            files[str(b)] = new_files[str(b)]
+            f = by_index.get(bucket_to_partition(b, k_parts))
+            files[str(b)] = [f] if f else []
 
         bookmarks = dict(m.get("bookmarks", {})) if m else {}
         bookmarks.update(bookmark_updates or {})
@@ -244,6 +296,7 @@ class LakeTable:
         df = self.read()
         if df is None:
             return None
+        df = df.drop("__bucket")
         m = self.current_manifest()
         op_col = m.get("op_col") if m else None
         if drop_deletes and op_col and op_col in df.columns:

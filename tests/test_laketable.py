@@ -129,3 +129,22 @@ def test_atomic_pointer_readers_never_see_partial(spark, table, tmp_path):
     # a second table handle (fresh "reader") sees the committed snapshot
     reader = LakeTable(spark, table.path, num_buckets=4)
     assert reader.to_df().count() == 1
+
+
+def test_mm3_hash_matches_spark(spark):
+    """bucket_to_partition must agree with Spark's HashPartitioning."""
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.streaming.laketable import (
+        bucket_to_partition,
+        mm3_hash_int,
+    )
+
+    df = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    got = {r.b: r.h for r in df.select("b", F.hash("b").alias("h")).collect()}
+    for b in range(64):
+        assert mm3_hash_int(b) == got[b], b
+    # partition assignment parity under an actual repartition
+    rep = df.repartition(16, "b").select("b", F.spark_partition_id().alias("p"))
+    for r in rep.collect():
+        assert bucket_to_partition(r.b, 16) == r.p, r
