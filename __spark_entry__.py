@@ -61,6 +61,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_pairs_exact": Q.q_embedding_pairs_exact,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
+        # skew-handling variant (same oracle as plain LWW)
+        "lww_latest_state_salted": Q.q_lww_latest_state_salted,
+        # streaming-shaped windows
+        "tumbling_window_counts": Q.q_tumbling_window_counts,
+        "session_windows": Q.q_session_windows,
+        # grouping sets / set ops
+        "rollup_revenue": Q.q_rollup_revenue,
+        "set_ops_active_users": Q.q_set_ops_active_users,
         # relational coverage
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -226,6 +234,60 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 4) as cos
             from e a join e b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "lww_latest_state_salted": """
+            with ranked as (
+                select *, row_number() over (
+                    partition by user_id order by event_id desc
+                ) as rn from events
+            )
+            select user_id, event_id, event_type, value, props
+            from ranked where rn = 1
+        """,
+        "tumbling_window_counts": """
+            select date_trunc('hour', ts) as window_start,
+                   event_type,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(28,2))) as double) as sum_value
+            from events group by 1, 2
+        """,
+        "session_windows": """
+            with flagged as (
+                select user_id, ts, event_id,
+                       case when lag(ts) over w is null
+                                 or epoch(ts) - epoch(lag(ts) over w) > 1800
+                            then 1 else 0 end as new_session
+                from events where user_id < 30
+                window w as (partition by user_id order by ts, event_id)
+            ), sessions as (
+                select user_id, ts,
+                       cast(sum(new_session) over (
+                           partition by user_id order by ts, event_id
+                           rows between unbounded preceding and current row
+                       ) as bigint) as session_id
+                from flagged
+            )
+            select user_id, session_id,
+                   min(ts) as session_start,
+                   max(ts) as session_end,
+                   count(*) as n_events
+            from sessions group by 1, 2
+        """,
+        "rollup_revenue": """
+            select l_returnflag, l_linestatus,
+                   count(*) as n_items,
+                   cast(sum(cast(l_extendedprice as decimal(28,2))) as double) as sum_price
+            from lineitem
+            group by rollup (l_returnflag, l_linestatus)
+        """,
+        "set_ops_active_users": """
+            select user_id from (
+                select user_id from events where event_type = 'click'
+                union
+                select user_id from events where event_type = 'purchase'
+            )
+            except all
+            select distinct user_id from events where event_type = 'error'
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "ann_cosine_topk",
+    "tumbling_window_counts",
+    "session_windows",
+    "rollup_revenue",
     "pricing_summary",
     "top_revenue_orders",
     "join_enrich_broadcast",

@@ -33,11 +33,33 @@ BOOKMARK_DATETIME_FORMAT = "%Y-%m-%dT%H:%M:%S"  # utils.py:113
 def incremental_filter(
     df: DataFrame, replication_key: str, bookmark: Any, inclusive: bool = False
 ) -> DataFrame:
-    """``rk > bookmark`` pushdown filter; no-op when bookmark is None/''. """
+    """``rk > bookmark`` pushdown filter; no-op when bookmark is None/''.
+
+    Type-aware seeding: a datetime ``start_date`` seed only applies to a
+    timestamp replication key (the reference's get_starting_timestamp path,
+    utils.py:99-115); a non-numeric string seed against a numeric rk is
+    ignored (full replay) instead of producing an un-castable predicate.
+    """
     if bookmark is None or bookmark == "":
         return df
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    rk_type = df.schema[replication_key].dataType
+    lit = F.lit(bookmark)
+    if isinstance(rk_type, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        if isinstance(bookmark, str):
+            lit = F.lit(bookmark).cast(rk_type)
+        elif isinstance(bookmark, (_dt.datetime, _dt.date)):
+            lit = F.lit(bookmark)
+    elif isinstance(rk_type, T.NumericType) and isinstance(bookmark, str):
+        try:
+            lit = F.lit(float(bookmark) if "." in bookmark else int(bookmark))
+        except ValueError:
+            return df  # seed not applicable to this key type -> full replay
     col = F.col(replication_key)
-    return df.filter(col >= F.lit(bookmark) if inclusive else col > F.lit(bookmark))
+    return df.filter(col >= lit if inclusive else col > lit)
 
 
 def result_limit(df: DataFrame, limit: Optional[int]) -> DataFrame:

@@ -257,6 +257,80 @@ def q_top_revenue_orders(spark, sf_dir):
     )
 
 
+def q_lww_latest_state_salted(spark, sf_dir):
+    """F9 + skew handling: two-phase salted LWW (SURVEY §4.3) — must produce
+    byte-identical results to the plain LWW (same oracle)."""
+    from tap_rest_api_msdk_spark.operators.dedup import lww_dedup_salted
+
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup_salted(ev, ["user_id"], ["event_id"], salt_buckets=8).select(
+        "user_id", "event_id", "event_type", "value", "props"
+    )
+
+
+def q_tumbling_window_counts(spark, sf_dir):
+    """Streaming-shaped tumbling window (1h) aggregation; window.start is
+    epoch-aligned, equal to date_trunc('hour') for 1h windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def q_session_windows(spark, sf_dir):
+    """Sessionization (30-min gap) via gaps-and-islands window functions —
+    the batch formulation of a session window, exactly SQL-expressible."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > 1800
+            )
+        ).cast("int"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping-set aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_set_ops_active_users(spark, sf_dir):
+    """Set operators: (click ∪ purchase users) ∖ error users."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.union(purchases).distinct().exceptAll(errors.distinct()).select("user_id")
+
+
 def q_join_enrich_broadcast(spark, sf_dir):
     """Broadcast-join enrichment: customers per nation/region."""
     cust = _t(spark, sf_dir, "customer")

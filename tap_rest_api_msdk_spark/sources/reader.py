@@ -1,0 +1,101 @@
+"""F7/F4/F10 source-side helpers: record extraction, payload-schema
+inference, and incremental search-query rendering.
+
+* :func:`extract_records` — the ``parse_response`` analog
+  (/root/reference/tap_rest_api_msdk/streams.py:576-586): a jsonpath
+  ``records_path`` selects the record array inside a response envelope.
+  The practically-used subset (``$[*]``, ``$.data[*]``, ``$.a.b[*]``,
+  ``$.a``) maps to native ``from_json`` + ``explode`` — filter-style
+  jsonpath (README.md:379-385) is out of scope for the native path and
+  documented as requiring the pandas-UDF fallback.
+* :func:`infer_payload_struct` — samples N+1 payloads (``limit`` pushdown,
+  mirroring the single discovery page, tap.py:608-618) and returns the
+  NESTED spark schema the native flatten projection consumes.
+* :func:`render_search_query` — F10's ``string.Template`` substitution of
+  ``$last_run_date`` into a server-side search expression
+  (streams.py:378-387), including the request-body variant that parses the
+  substituted text as JSON (streams.py:380-383).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from string import Template
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ARRAY_PATH = re.compile(r"^\$?\.?(?P<path>[A-Za-z0-9_.]*?)\.?\[\*\]$")
+
+
+def parse_records_path(records_path: str) -> tuple[list[str], bool]:
+    """-> (field path parts, is_array). ``"$[*]"`` -> ([], True);
+    ``"$.data[*]"`` -> (["data"], True); ``"$.item"`` -> (["item"], False).
+    """
+    m = _ARRAY_PATH.match(records_path.strip())
+    if m:
+        path = m.group("path")
+        return ([p for p in path.split(".") if p], True)
+    path = records_path.strip().lstrip("$").strip(".")
+    return ([p for p in path.split(".") if p], False)
+
+
+def extract_records(
+    df: DataFrame,
+    payload_col: str,
+    records_path: str,
+    envelope_schema: T.StructType,
+    keep_cols: Optional[list] = None,
+    record_col: str = "record",
+) -> DataFrame:
+    """Explode the record array addressed by ``records_path`` out of a raw
+    JSON envelope column — one output row per record, fully native."""
+    parts, is_array = parse_records_path(records_path)
+    keep = [F.col(c) for c in (keep_cols or [c for c in df.columns if c != payload_col])]
+    parsed = df.withColumn("__env", F.from_json(F.col(payload_col), envelope_schema))
+    node = F.col("__env") if not parts else F.col("__env." + ".".join(parts))
+    if is_array:
+        out = parsed.select(*keep, F.explode(node).alias(record_col))
+    else:
+        out = parsed.select(*keep, node.alias(record_col))
+    return out
+
+
+def infer_payload_struct(
+    df: DataFrame, payload_col: str, inference_records: int = 50
+) -> T.StructType:
+    """Nested StructType of a JSON payload column from an N+1 sample.
+
+    Uses ``spark.read.json`` over the sampled strings so nested
+    struct/array shapes survive (the flat genson-parity path in
+    functions/infer.py is for the FLATTENED record schema / catalog).
+    Preserves the reference's N+1 off-by-one (tap.py:636-637).
+    """
+    spark = df.sparkSession
+    rows = df.select(payload_col).limit(inference_records + 1).collect()
+    sample = [r[0] for r in rows if r[0] is not None]
+    if not sample:
+        return T.StructType([])
+    return spark.read.json(spark.sparkContext.parallelize(sample)).schema
+
+
+def render_search_query(
+    source_search_query: str,
+    last_run_date: Any,
+    as_request_body: bool = False,
+) -> Any:
+    """Substitute ``$last_run_date`` (streams.py:378-387).
+
+    ``as_request_body=True`` parses the result as JSON — the
+    ``use_request_body_not_params`` variant (streams.py:380-383); invalid
+    JSON raises ``ValueError`` like ``json.loads`` would in the reference.
+    """
+    rendered = Template(source_search_query).safe_substitute(
+        last_run_date=last_run_date
+    )
+    if as_request_body:
+        return json.loads(rendered)
+    return rendered

@@ -290,6 +290,66 @@ class LakeTable:
             "merge_seconds": time.time() - t0,
         }
 
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(self, tombstone_watermark: Optional[int] = None) -> dict:
+        """Rewrite the full table into one fresh epoch: merges small files
+        and purges delete tombstones whose seq <= ``tombstone_watermark``
+        (safe once the source can no longer replay events older than the
+        watermark — the classic log-compaction contract).
+
+        Runs as a normal commit (bumps version, keeps batch-id ledger), so
+        readers never see a partial compaction.
+        """
+        m = self.current_manifest()
+        if m is None:
+            return {"skipped": True, "reason": "empty table"}
+        df = self.read()
+        op_col = m.get("op_col")
+        rk = (m.get("order_by") or [None])[0]
+        if op_col and tombstone_watermark is not None and rk:
+            df = df.filter(
+                ~((F.col(op_col) == "delete") & (F.col(rk) <= F.lit(tombstone_watermark)))
+            )
+        epoch = m["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        k_parts = self.num_buckets
+        df.repartition(k_parts, "__bucket").write.mode("overwrite").parquet(out_dir)
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        files = {
+            str(b): ([by_index[p]] if (p := bucket_to_partition(b, k_parts)) in by_index else [])
+            for b in range(self.num_buckets)
+        }
+        manifest = {**m, "version": epoch, "files": files, "committed_at": time.time()}
+        self._publish(manifest)
+        return {"skipped": False, "version": epoch, "files": len(by_index)}
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by the CURRENT manifest.
+        Returns the number of files removed. Single-writer assumption means
+        no reader can hold an older snapshot across this call (a real
+        deployment would retain N snapshots / use a grace period)."""
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        live = {f for flist in m["files"].values() for f in flist}
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for epoch_dir in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, epoch_dir)
+            for fname in os.listdir(full):
+                fpath = os.path.join(full, fname)
+                if fname.endswith(".parquet") and fpath not in live:
+                    os.remove(fpath)
+                    removed += 1
+            if not os.listdir(full):
+                os.rmdir(full)
+        return removed
+
     # convenience for tests / oracle comparison
     def to_df(self, drop_deletes: bool = True) -> Optional[DataFrame]:
         """Live state of the table (tombstones filtered by default)."""

@@ -76,6 +76,17 @@ def process_batch(
     bookmark = store.get()
     raw = incremental_filter(batch_df, conf.replication_key, bookmark)
 
+    # F4 dynamic discovery: no schema supplied -> infer the nested payload
+    # struct from an N+1 sample of the first non-empty batch (tap.py:557-640
+    # analog), then reuse it for the stream's lifetime.
+    if conf.payload_col and conf.payload_schema is None:
+        from tap_rest_api_msdk_spark.sources.reader import infer_payload_struct
+
+        inferred = infer_payload_struct(raw, conf.payload_col)
+        if not inferred.fields:
+            return {"skipped": True, "empty": True, "batch_id": batch_id}
+        conf.payload_schema = inferred
+
     # lineage + high-watermark + affected buckets in ONE cheap pass over the
     # RAW batch (merge keys / seq / ts / payload are all pre-flatten
     # columns, so this pass never parses JSON). The flatten then runs

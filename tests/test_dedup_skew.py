@@ -1,0 +1,69 @@
+"""Skew handling and maintenance: salted LWW on a hot key, compaction,
+vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.operators.dedup import (
+    lww_dedup,
+    lww_dedup_salted,
+    lww_dedup_window,
+)
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+
+def test_salted_lww_hot_key_agrees_with_plain(spark):
+    """90% of events on ONE key (pathological skew): the salted two-phase
+    plan must produce exactly the plain LWW result."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot/repo")).otherwise(
+            F.format_string("repo-%d", F.col("id") % 1000)
+        ).alias("repo"),
+        F.lit("p").alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 8).alias("commit"),
+        F.format_string("v%d", F.col("id")).alias("content"),
+    )
+    plain = lww_dedup(df, ["repo", "path"], ["seq", "commit"]).select("repo", "seq")
+    salted = lww_dedup_salted(df, ["repo", "path"], ["seq", "commit"], salt_buckets=32).select("repo", "seq")
+    windowed = lww_dedup_window(df, ["repo", "path"], ["seq", "commit"]).select("repo", "seq")
+    assert plain.exceptAll(salted).count() == 0 and salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(windowed).count() == 0 and windowed.exceptAll(plain).count() == 0
+    # the hot key's winner is the global max seq among its 90k events
+    hot = {r.repo: r.seq for r in salted.collect()}["hot/repo"]
+    assert hot == n - 2  # id=99999 % 10 = 9 -> cold; 99998 % 10 = 8 -> hot
+
+
+def test_compaction_purges_tombstones_and_merges_files(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    schema = "seq long, repo string, path string, commit string, op string, content string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    for i in range(4):
+        # batch 3 deliberately leaves r0 alone so its tombstone survives
+        lo = 1 if i == 3 else 0
+        rows = [(i * 10 + j, f"r{j}", "p", f"c{i}{j}", "upsert", f"v{i}{j}") for j in range(lo, 5)]
+        if i == 2:
+            rows.append((i * 10 + 9, "r0", "p", "cD", "delete", None))
+        t.merge_upsert(mk(rows), ["repo", "path"], ["seq", "commit"], i, op_col="op")
+    before_live = {(r.repo, r.path): r.seq for r in t.to_df().collect()}
+    assert ("r0", "p") not in before_live  # tombstoned at seq 29, never resurrected
+    assert t.to_df(drop_deletes=False).filter(F.col("op") == "delete").count() == 1
+
+    stats = t.compact(tombstone_watermark=10_000)
+    assert not stats["skipped"]
+    after_live = {(r.repo, r.path): r.seq for r in t.to_df().collect()}
+    assert after_live == before_live  # live state unchanged
+    assert t.to_df(drop_deletes=False).filter(F.col("op") == "delete").count() == 0
+
+    removed = t.vacuum()
+    assert removed > 0
+    # table still reads correctly after vacuum
+    assert {(r.repo, r.path): r.seq for r in t.to_df().collect()} == before_live
+    # further merges still work post-compaction
+    t.merge_upsert(
+        mk([(1000, "r1", "p", "cz", "upsert", "new")]), ["repo", "path"], ["seq", "commit"], 99, op_col="op"
+    )
+    assert {r.repo: r.content for r in t.to_df().collect()}["r1"] == "new"

@@ -35,9 +35,9 @@ def normalize(v):
 
 def to_sorted_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(normalize(r[i]) for i in idx) for r in rows
-    )
+    normalized = [tuple(normalize(r[i]) for i in idx) for r in rows]
+    # None-safe total order (rollup/grouping-set rows carry null keys)
+    return sorted(normalized, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 QUERIES = entry_mod.queries()

@@ -1,0 +1,44 @@
+"""applyInPandasWithState: per-key running state across micro-batches."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal, write_wal_slices
+from tap_rest_api_msdk_spark.streaming.stateful import running_state_stream
+
+
+def test_running_state_across_batches(spark, tmp_path):
+    wal = synth_repo_wal(spark, 3000, n_repos=5, n_paths=10)
+    slices = write_wal_slices(wal, str(tmp_path / "wal"), 3)
+    schema = spark.read.parquet(slices[0]).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "wal"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        running_state_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # final snapshot per key (last emitted update) must equal batch truth
+    got = spark.read.parquet(out_dir)
+    final = (
+        got.groupBy("repo", "path")
+        .agg(F.max("n_updates").alias("n_updates"), F.max("max_seq").alias("max_seq"))
+    )
+    truth = wal.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).alias("n_updates"), F.max("seq").alias("max_seq")
+    )
+    diff = final.exceptAll(truth).count() + truth.exceptAll(final).count()
+    assert diff == 0
