@@ -1,0 +1,119 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that pass. Checks pushdown, broadcast choice, partial aggregation, Python-
+free hot paths, and the merge's single-exchange property.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tap_rest_api_msdk_spark.operators.incremental import incremental_filter
+
+SF_DIR = "/root/testdata/sf0.01"
+QUERIES = entry_mod.queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_filter_pushed_to_scan(spark):
+    df = incremental_filter(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), "event_id", 5000
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThan(event_id,5000)" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must not read all columns (ReadSchema check)."""
+    df = QUERIES["flatten_props"](spark, SF_DIR)
+    plan = plan_of(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" in read_schema and "event_id" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
+
+
+def test_broadcast_joins_chosen_for_small_dims(spark):
+    plan = plan_of(QUERIES["join_enrich_broadcast"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    plan3 = plan_of(QUERIES["top_revenue_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_hot_paths_are_python_free(spark):
+    """No Python evaluation nodes in any native-path operator query."""
+    for name in [
+        "lww_latest_state",
+        "incremental_filter",
+        "flatten_props",
+        "bookmark_state",
+        "lineage_metrics",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_tokens",
+        "text_quality",
+        "text_langid",
+        "pricing_summary",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_aggregations_have_partial_phase(spark):
+    """Map-side combine: HashAggregate appears in partial+final pairs."""
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "partial_" in plan  # partial_sum / partial_count before shuffle
+    plan2 = plan_of(QUERIES["lww_latest_state"](spark, SF_DIR))
+    assert "partial_max" in plan2  # LWW aggregate pre-combines map-side
+
+
+def test_lww_latest_is_partial_aggregate_single_exchange(spark):
+    """The latest-state query must be a two-phase aggregate (struct-max
+    compiles to SortAggregate — structs aren't hash-aggregable — but the
+    partial/final split still pre-combines map-side) with exactly one
+    shuffle, NOT a row_number window that ships every event."""
+    plan = plan_of(QUERIES["lww_latest_state"](spark, SF_DIR))
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    assert "row_number" not in plan
+
+
+def test_merge_is_single_exchange(spark, tmp_path):
+    """The lake-table merge plan: exactly ONE shuffle (the bucket
+    repartition); LWW rides the in-partition sort, the write consumes the
+    same layout."""
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+    from pyspark.sql import Window
+
+    wal = synth_repo_wal(spark, 2000, n_repos=5, n_paths=20)
+    # reproduce merge_upsert's first-batch plan shape
+    b = wal.withColumn(
+        "__bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(16)).cast("int")
+    ).repartition(16, "__bucket")
+    w = Window.partitionBy("__bucket").orderBy(
+        "repo", "path", F.col("seq").desc(), F.col("commit").desc()
+    )
+    lagged = F.lag("repo").over(w)
+    merged = b.withColumn(
+        "__first", lagged.isNull() | (lagged != F.col("repo")) | (F.lag("path").over(w) != F.col("path"))
+    ).filter(F.col("__first")).drop("__first")
+    plan = plan_of(merged)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_wholestage_codegen_covers_flatten(spark):
+    from tap_rest_api_msdk_spark.functions.flatten import flatten_dataframe
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.sources.reader import infer_payload_struct
+
+    wal = synth_repo_wal(spark, 500, n_repos=3, n_paths=5)
+    ps = infer_payload_struct(wal, "payload")
+    flat = flatten_dataframe(wal, "payload", ps, keep_cols=["seq", "repo", "path"])
+    plan = plan_of(flat)
+    # "*(n)" marks WholeStageCodegen stages in the physical plan string
+    assert "*(" in plan or "WholeStageCodegen" in plan
