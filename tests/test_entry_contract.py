@@ -74,3 +74,18 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"user_id", "event_id", "event_type", "value", "props_k"}
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """The HLL sketch must land within ~3x its configured rsd of the exact
+    twin (accuracy contract for the oracle-less sketch query)."""
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_exact"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
