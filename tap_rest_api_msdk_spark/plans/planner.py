@@ -299,3 +299,35 @@ def pages_to_slices(pages: list[WalPage]) -> list[tuple]:
     """Planned pages -> (start_seq, end_seq] micro-batch ranges for
     pipeline.run_batch_replay."""
     return [p.seq_range for p in pages if p.seq_range is not None]
+
+
+def scan_wal_pages(wal_dir: str) -> list[WalPage]:
+    """Materialized page stream: each ``page-NNNNN.parquet`` slice may carry
+    a ``page-NNNNN.meta.json`` sidecar holding its response envelope
+    (body / headers / links / n_records / seq_range / request_url) — the
+    on-disk analog of an API response the paginator inspects."""
+    import json as _json
+    import os as _os
+
+    pages = []
+    names = sorted(
+        f for f in _os.listdir(wal_dir) if f.endswith(".parquet")
+    )
+    for i, fname in enumerate(names):
+        meta = {}
+        mpath = _os.path.join(wal_dir, fname.rsplit(".parquet", 1)[0] + ".meta.json")
+        if _os.path.exists(mpath):
+            with open(mpath) as fh:
+                meta = _json.load(fh)
+        pages.append(
+            WalPage(
+                index=i,
+                n_records=meta.get("n_records", 0),
+                body=meta.get("body", {}),
+                headers=meta.get("headers", {}),
+                links=meta.get("links", {}),
+                seq_range=tuple(meta["seq_range"]) if meta.get("seq_range") else None,
+                request_url=meta.get("request_url", ""),
+            )
+        )
+    return pages

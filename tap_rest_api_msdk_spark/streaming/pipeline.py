@@ -92,15 +92,20 @@ def process_batch(
     # columns, so this pass never parses JSON). The flatten then runs
     # exactly once, inside the merge write action — measured 2x replay
     # throughput vs persisting the flattened batch across both passes.
+    # Record-shaped streams whose keys live INSIDE the payload fall back to
+    # metrics over the flattened batch (pays one extra JSON pass).
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in conf.keys]), F.lit(conf.num_buckets)
     ).cast("int")
+    metrics_src = (
+        raw if all(k in raw.columns for k in conf.keys) else prepare_batch(raw, conf, None)
+    )
     metrics_df = lineage_metrics(
-        raw.withColumn("__p", bucket),
+        metrics_src.withColumn("__p", bucket),
         "__p",
         conf.replication_key,
-        ts_col=conf.ts_col if conf.ts_col in raw.columns else None,
-        bytes_col=conf.payload_col if conf.payload_col in raw.columns else None,
+        ts_col=conf.ts_col if conf.ts_col in metrics_src.columns else None,
+        bytes_col=conf.payload_col if conf.payload_col in metrics_src.columns else None,
     )
     mrows = metrics_df.collect()
     if not mrows:
