@@ -169,6 +169,36 @@ _WIDEN_OK = {
 }
 
 
+def merge_struct_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Recursive additive merge of (possibly nested) Spark types.
+
+    Structs merge field-wise (new fields appended nullable); arrays merge
+    element types; atomic types widen per ``_WIDEN_OK``; otherwise the
+    LEFT type wins (never narrow, never change shape). Used for payload
+    schema drift between micro-batches (FX6 evolution semantics).
+    """
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        by_name = {f.name: f for f in a.fields}
+        out = []
+        for f in a.fields:
+            bf = next((x for x in b.fields if x.name == f.name), None)
+            if bf is None:
+                out.append(f)
+            else:
+                out.append(
+                    T.StructField(f.name, merge_struct_types(f.dataType, bf.dataType), True)
+                )
+        for bf in b.fields:
+            if bf.name not in by_name:
+                out.append(T.StructField(bf.name, bf.dataType, True))
+        return T.StructType(out)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(merge_struct_types(a.elementType, b.elementType), True)
+    if a != b and (a, b) in _WIDEN_OK:
+        return b
+    return a
+
+
 def merge_schemas(target: T.StructType, batch: T.StructType) -> T.StructType:
     """Additive evolution: target ∪ batch (SURVEY §4.2).
 

@@ -50,6 +50,15 @@ class PipelineConfig:
     ts_col: Optional[str] = "ts"
     result_limit: Optional[int] = None
     num_buckets: int = 16
+    # payload schema drift handling (FX6): "fixed" trusts the discovered
+    # schema for the stream's lifetime (fastest; late-appearing fields are
+    # dropped); "sample" re-samples N+1 payloads per batch and additively
+    # merges the nested schema (catches fields that appear at batch
+    # boundaries — the CDC evolution shape); "full" infers over the whole
+    # batch via a JVM-native json read (exact, one extra parse pass).
+    schema_evolution: str = "sample"
+    inference_records: int = 50
+    _schema_discovered: bool = False  # set by the pipeline on first inference
 
 
 def prepare_batch(df: DataFrame, conf: PipelineConfig, bookmark: Any) -> DataFrame:
@@ -76,16 +85,38 @@ def process_batch(
     bookmark = store.get()
     raw = incremental_filter(batch_df, conf.replication_key, bookmark)
 
-    # F4 dynamic discovery: no schema supplied -> infer the nested payload
-    # struct from an N+1 sample of the first non-empty batch (tap.py:557-640
-    # analog), then reuse it for the stream's lifetime.
-    if conf.payload_col and conf.payload_schema is None:
+    # F4 dynamic discovery + drift handling: no schema supplied -> infer
+    # from an N+1 sample (tap.py:557-640 analog); on later batches, merge
+    # newly-observed payload fields additively per conf.schema_evolution
+    # (the tap flattens drifting records dynamically, streams.py:588-603;
+    # the lake sink then evolves the flat schema, SURVEY §4.2).
+    if conf.payload_col:
+        from tap_rest_api_msdk_spark.functions.infer import merge_struct_types
         from tap_rest_api_msdk_spark.sources.reader import infer_payload_struct
 
-        inferred = infer_payload_struct(raw, conf.payload_col)
-        if not inferred.fields:
+        # a user-SUPPLIED schema (F5 file/inline bypass) stays fixed, like
+        # the reference's no-discovery path; only discovered schemas track
+        # drift across batches
+        def _infer_full():
+            payloads = raw.select(F.col(conf.payload_col).alias("value"))
+            return raw.sparkSession.read.json(payloads.rdd.map(lambda r: r[0])).schema
+
+        observed = None
+        if conf.payload_schema is None or (
+            conf._schema_discovered and conf.schema_evolution in ("sample", "full")
+        ):
+            if conf.schema_evolution == "full":
+                observed = _infer_full()
+            else:
+                observed = infer_payload_struct(raw, conf.payload_col, conf.inference_records)
+            conf._schema_discovered = True
+        if observed is not None and observed.fields:
+            if conf.payload_schema is None:
+                conf.payload_schema = observed
+            else:
+                conf.payload_schema = merge_struct_types(conf.payload_schema, observed)
+        if conf.payload_schema is None or not conf.payload_schema.fields:
             return {"skipped": True, "empty": True, "batch_id": batch_id}
-        conf.payload_schema = inferred
 
     # lineage + high-watermark + affected buckets in ONE cheap pass over the
     # RAW batch (merge keys / seq / ts / payload are all pre-flatten
