@@ -128,7 +128,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as event_count,
                    min(event_id) as offset_start,
                    max(event_id) as offset_end,
-                   max(ts) as watermark
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') as watermark
             from events group by 1
         """,
         "window_lag_delta": """
@@ -249,7 +249,7 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rn = 1
         """,
         "tumbling_window_counts": """
-            select date_trunc('hour', ts) as window_start,
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
                    event_type,
                    count(*) as n_events,
                    cast(sum(cast(value as decimal(28,2))) as double) as sum_value
@@ -272,8 +272,8 @@ def oracle_sql() -> dict[str, str]:
                 from flagged
             )
             select user_id, session_id,
-                   min(ts) as session_start,
-                   max(ts) as session_end,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') as session_end,
                    count(*) as n_events
             from sessions group by 1, 2
         """,
@@ -316,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
             group by l_returnflag, l_linestatus
         """,
         "top_revenue_orders": """
-            select o_orderkey, o_orderdate, o_orderpriority,
+            select o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as o_orderdate, o_orderpriority,
                    cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double) as revenue
             from lineitem
             join orders on l_orderkey = o_orderkey

@@ -90,7 +90,8 @@ def q_lineage_metrics(spark, sf_dir):
             F.count(F.lit(1)).alias("event_count"),
             F.min("event_id").alias("offset_start"),
             F.max("event_id").alias("offset_end"),
-            F.max("ts").alias("watermark"),
+            # formatted string: pins cross-engine timestamp representation
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("watermark"),
         )
     )
 
@@ -246,7 +247,9 @@ def q_top_revenue_orders(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+                 "o_orderpriority")
         .agg(
             F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             .cast("double")
@@ -278,7 +281,10 @@ def q_tumbling_window_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
     )
 
 
@@ -304,8 +310,8 @@ def q_session_windows(spark, sf_dir):
         "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
