@@ -145,9 +145,10 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
         files: set[str] = set()
-        for b, flist in m["files"].items():
-            if buckets is None or int(b) in set(buckets):
-                files.update(flist)
+        for section in ("files", "deltas"):
+            for b, flist in m.get(section, {}).items():
+                if buckets is None or int(b) in set(buckets):
+                    files.update(flist)
         if not files:
             return self.spark.createDataFrame([], stored)
         # schema evolution: read each file with the CURRENT table schema;
@@ -156,6 +157,23 @@ class LakeTable:
         if buckets is not None:
             df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
         return df
+
+    def read_state(self, buckets: Optional[Sequence[int]] = None) -> Optional[DataFrame]:
+        """Resolved current state: LWW over base ∪ delta rows.
+
+        For a pure copy-on-write table this is a no-op dedup (base is
+        already one row per key); for merge-on-read it resolves the delta
+        log against the base — the read-side half of the MOR contract.
+        """
+        df = self.read(buckets)
+        m = self.current_manifest()
+        if df is None or m is None:
+            return df
+        if not m.get("deltas"):
+            return df
+        from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+        return lww_dedup(df, list(m["keys"]) + ["__bucket"], m["order_by"])
 
     # ------------------------------------------------------------------
     # write path
@@ -173,6 +191,7 @@ class LakeTable:
         bookmark_updates: Optional[dict] = None,
         extra_manifest: Optional[dict] = None,
         affected_buckets: Optional[Sequence[int]] = None,
+        mode: str = "cow",
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
 
@@ -184,6 +203,17 @@ class LakeTable:
         a deleted key — replay converges regardless of batch boundaries.
         ``to_df(drop_deletes=True)`` exposes the live state; compaction can
         purge tombstones once the low watermark passes them.
+
+        ``mode``:
+        * ``"cow"`` — copy-on-write: affected buckets are rewritten fully
+          merged; reads are one-row-per-key with zero resolve cost.
+        * ``"mor"`` — merge-on-read: the batch's within-batch LWW winners
+          are appended as DELTA files without touching the base — write
+          amplification is O(batch), not O(table); readers resolve via
+          ``read_state`` and ``compact()`` folds deltas into a new base.
+          This is the steady-state streaming-CDC write path (Hudi/Iceberg
+          MOR equivalent); both modes share semantics and the batch-id
+          ledger, and may be mixed batch-by-batch.
         """
         m = self.current_manifest()
         if batch_id <= (m["batch_id"] if m else -1):
@@ -218,6 +248,12 @@ class LakeTable:
             affected = [int(b) for b in affected_buckets]
         else:
             affected = [int(r[0]) for r in batch.select("__bucket").distinct().collect()]
+
+        if mode == "mor":
+            return self._append_delta(
+                batch, keys, order_by, batch_id, op_col, affected,
+                new_schema, m, bookmark_updates, extra_manifest, t0,
+            )
 
         if m:
             existing = self.read(buckets=affected).drop("__bucket")
@@ -261,9 +297,11 @@ class LakeTable:
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
         files = dict(m["files"]) if m else {}
+        deltas = dict(m.get("deltas", {})) if m else {}
         for b in affected:
             f = by_index.get(bucket_to_partition(b, k_parts))
             files[str(b)] = [f] if f else []
+            deltas.pop(str(b), None)  # folded into the new base
 
         bookmarks = dict(m.get("bookmarks", {})) if m else {}
         bookmarks.update(bookmark_updates or {})
@@ -274,6 +312,7 @@ class LakeTable:
             "committed_at": time.time(),
             "schema": new_schema.jsonValue(),
             "files": files,
+            "deltas": deltas,
             "bookmarks": bookmarks,
             "num_buckets": self.num_buckets,
             "keys": list(keys),
@@ -286,6 +325,63 @@ class LakeTable:
             "skipped": False,
             "batch_id": batch_id,
             "version": epoch,
+            "affected_buckets": len(affected),
+            "merge_seconds": time.time() - t0,
+        }
+
+    def _append_delta(
+        self, batch, keys, order_by, batch_id, op_col, affected,
+        new_schema, m, bookmark_updates, extra_manifest, t0,
+    ) -> dict:
+        """MOR write: within-batch LWW winners appended as delta files.
+
+        Never reads the base — write cost is O(batch). The within-batch
+        LWW is the map-side-combined aggregate (operators/dedup.lww_dedup),
+        so duplicate-heavy batches shuffle pre-combined rows only.
+        """
+        from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+        winners = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
+        k_parts = max(1, min(len(affected), self.num_buckets))
+        epoch = (m["version"] + 1) if m else 0
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        winners.repartition(k_parts, "__bucket").write.mode("overwrite").parquet(out_dir)
+
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+
+        deltas = dict(m.get("deltas", {})) if m else {}
+        for b in affected:
+            f = by_index.get(bucket_to_partition(b, k_parts))
+            if f:
+                deltas.setdefault(str(b), [])
+                if f not in deltas[str(b)]:
+                    deltas[str(b)] = deltas[str(b)] + [f]
+
+        bookmarks = dict(m.get("bookmarks", {})) if m else {}
+        bookmarks.update(bookmark_updates or {})
+        manifest = {
+            "version": epoch,
+            "batch_id": batch_id,
+            "committed_at": time.time(),
+            "schema": new_schema.jsonValue(),
+            "files": dict(m["files"]) if m else {},
+            "deltas": deltas,
+            "bookmarks": bookmarks,
+            "num_buckets": self.num_buckets,
+            "keys": list(keys),
+            "order_by": list(order_by),
+            "op_col": op_col,
+            **(extra_manifest or {}),
+        }
+        self._publish(manifest)
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "version": epoch,
+            "mode": "mor",
             "affected_buckets": len(affected),
             "merge_seconds": time.time() - t0,
         }
@@ -305,7 +401,7 @@ class LakeTable:
         m = self.current_manifest()
         if m is None:
             return {"skipped": True, "reason": "empty table"}
-        df = self.read()
+        df = self.read_state()  # resolves MOR deltas before rewriting
         op_col = m.get("op_col")
         rk = (m.get("order_by") or [None])[0]
         if op_col and tombstone_watermark is not None and rk:
@@ -324,7 +420,10 @@ class LakeTable:
             str(b): ([by_index[p]] if (p := bucket_to_partition(b, k_parts)) in by_index else [])
             for b in range(self.num_buckets)
         }
-        manifest = {**m, "version": epoch, "files": files, "committed_at": time.time()}
+        manifest = {
+            **m, "version": epoch, "files": files, "deltas": {},
+            "committed_at": time.time(),
+        }
         self._publish(manifest)
         return {"skipped": False, "version": epoch, "files": len(by_index)}
 
@@ -337,6 +436,7 @@ class LakeTable:
         if m is None:
             return 0
         live = {f for flist in m["files"].values() for f in flist}
+        live |= {f for flist in m.get("deltas", {}).values() for f in flist}
         removed = 0
         data_root = os.path.join(self.path, "data")
         for epoch_dir in sorted(os.listdir(data_root)):
@@ -352,8 +452,9 @@ class LakeTable:
 
     # convenience for tests / oracle comparison
     def to_df(self, drop_deletes: bool = True) -> Optional[DataFrame]:
-        """Live state of the table (tombstones filtered by default)."""
-        df = self.read()
+        """Live state of the table (MOR deltas resolved, tombstones
+        filtered by default)."""
+        df = self.read_state()
         if df is None:
             return None
         df = df.drop("__bucket")

@@ -59,6 +59,12 @@ class PipelineConfig:
     schema_evolution: str = "sample"
     inference_records: int = 50
     _schema_discovered: bool = False  # set by the pipeline on first inference
+    # sink write strategy: "cow" rewrites affected buckets fully merged;
+    # "mor" appends delta files (O(batch) writes) and resolves at read —
+    # the steady-state streaming path. auto_compact_every folds MOR deltas
+    # into a new base every N committed batches.
+    sink_mode: str = "cow"
+    auto_compact_every: Optional[int] = None
 
 
 def prepare_batch(df: DataFrame, conf: PipelineConfig, bookmark: Any) -> DataFrame:
@@ -153,7 +159,15 @@ def process_batch(
         op_col=conf.op_col,
         bookmark_updates=store.updates_for(hw, per_part),
         affected_buckets=sorted(per_part),  # lineage partition == merge bucket
+        mode=conf.sink_mode,
     )
+    if (
+        not stats.get("skipped")
+        and conf.sink_mode == "mor"
+        and conf.auto_compact_every
+        and (batch_id + 1) % conf.auto_compact_every == 0
+    ):
+        stats["compaction"] = table.compact()
     if not stats.get("skipped"):
         # metrics rows were already collected; append driver-side (pyarrow)
         append_metrics_rows(mrows, metrics_df.schema, table.path, batch_id, conf.stream)
