@@ -147,12 +147,16 @@ def flatten_columns(
 
     Mirrors F1 semantics on Spark types: StructType ~ dict (recurse),
     ArrayType ~ list (``to_json``), except-path subtrees ``to_json``.
-    Note: JSON string columns produced here use Spark's compact ``to_json``
-    formatting; the pandas kernel uses Python ``json.dumps`` (which inserts
-    spaces). Tests compare them JSON-parsed, not byte-equal.
+    Notes:
+    * JSON string columns produced here use Spark's compact ``to_json``
+      formatting; the pandas kernel uses Python ``json.dumps`` (which
+      inserts spaces). Tests compare them JSON-parsed, not byte-equal.
+    * Colliding flattened names (``{"a": {"b": 1}, "a_b": 2}`` — or via
+      ``-``/``.`` translation) keep the LAST occurrence in field order,
+      exactly like the reference's dict overwrite (utils.py:55-69).
     """
     except_set = frozenset(except_keys or ())
-    cols: list[Column] = []
+    by_name: dict[str, Column] = {}
 
     def walk(struct: T.StructType, joined: str, path: str) -> None:
         for field in struct.fields:
@@ -160,17 +164,16 @@ def flatten_columns(
             cpath = (path + "." if path else "") + f"`{field.name}`"
             out_name = translate_key(jpath)
             if jpath in except_set:
-                cols.append(F.to_json(F.col(cpath)).alias(out_name))
+                by_name[out_name] = F.to_json(F.col(cpath)).alias(out_name)
             elif isinstance(field.dataType, T.StructType):
                 walk(field.dataType, jpath + "_", cpath)
             elif isinstance(field.dataType, (T.ArrayType, T.MapType)):
-                cols.append(F.to_json(F.col(cpath)).alias(out_name))
+                by_name[out_name] = F.to_json(F.col(cpath)).alias(out_name)
             else:
-                cols.append(F.col(cpath).alias(out_name))
+                by_name[out_name] = F.col(cpath).alias(out_name)
 
-    base = prefix
-    walk(schema, base, col_prefix)
-    return cols
+    walk(schema, prefix, col_prefix)
+    return list(by_name.values())
 
 
 def flatten_dataframe(

@@ -128,3 +128,24 @@ def test_flatten_projection_stays_native(spark):
     df = spark.createDataFrame([(json.dumps({"a": 1}),)], "payload string")
     plan = flatten_dataframe(df, "payload", schema)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_flatten_collision_last_wins_kernel():
+    """Colliding flattened names keep the last writer (utils.py dict
+    overwrite; verified against the reference implementation)."""
+    assert flatten_record({"a": {"b": 1}, "a_b": 2}) == {"a_b": 2}
+    assert flatten_record({"a_b": 2, "a": {"b": 1}}) == {"a_b": 1}
+    assert flatten_record({"a-b": 1, "a.b": 2, "a_b": 3}) == {"a_b": 3}
+
+
+def test_flatten_collision_last_wins_native(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StructType([T.StructField("b", T.LongType())])),
+            T.StructField("a_b", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame([(json.dumps({"a": {"b": 1}, "a_b": 2}),)], "payload string")
+    out = flatten_dataframe(df, "payload", schema, keep_cols=[])
+    assert out.columns == ["a_b"]
+    assert out.collect()[0].a_b == 2  # last field in schema order wins
