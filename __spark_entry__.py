@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping sets / set ops
         "rollup_revenue": Q.q_rollup_revenue,
         "set_ops_active_users": Q.q_set_ops_active_users,
+        # multimodal plumbing (rows-only: mapInPandas kernels, no SQL twin)
+        "multimodal_image_features": Q.q_multimodal_image_features,
+        "multimodal_frame_sampling": Q.q_multimodal_frame_sampling,
         # percentiles / distinct sketches
         "value_percentiles": Q.q_value_percentiles,
         "distinct_users_exact": Q.q_distinct_users_exact,

@@ -19,7 +19,7 @@ Three execution paths:
 1. :func:`flatten_record` — pure-Python kernel (driver-side helper and the
    unit of semantic truth; golden-tested against the reference fixture
    /root/reference/tests/test_utils.py:6-21).
-2. :func:`flatten_json_pandas_udf` — Arrow-vectorized pandas UDF over a raw
+2. :func:`make_flatten_udf` — Arrow-vectorized pandas UDF over a raw
    JSON string column; emits canonical flattened JSON (dynamic keys).  This
    is the *only* Python that touches row data, and it is batch-vectorized —
    no per-row Python UDFs anywhere (BASELINE input_hint).

@@ -339,6 +339,26 @@ def q_set_ops_active_users(spark, sf_dir):
     return clicks.union(purchases).distinct().exceptAll(errors.distinct()).select("user_id")
 
 
+# ---------------------------------------------------------------------------
+# multimodal plumbing (deterministic synthetic binary assets; codec stubbed —
+# rows-only driver check, plumbing pinned by tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_features(spark, sf_dir):
+    from tap_rest_api_msdk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_assets,
+    )
+
+    return decode_image_features(synth_assets(spark, 500), fake=True)
+
+
+def q_multimodal_frame_sampling(spark, sf_dir):
+    from tap_rest_api_msdk_spark.functions.multimodal import sample_frames, synth_assets
+
+    return sample_frames(synth_assets(spark, 200, kind="video"), every_n_bytes=16, max_frames=4)
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event_type (scalar-fn coverage)."""
     ev = _t(spark, sf_dir, "events")

@@ -79,7 +79,10 @@ def infer_payload_struct(
     sample = [r[0] for r in rows if r[0] is not None]
     if not sample:
         return T.StructType([])
-    return spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    # read.json appends _corrupt_record when the sample holds bad rows;
+    # that's a parser artifact, not a payload field
+    return T.StructType([f for f in schema.fields if f.name != "_corrupt_record"])
 
 
 def render_search_query(

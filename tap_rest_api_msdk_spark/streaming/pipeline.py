@@ -65,6 +65,11 @@ class PipelineConfig:
     # into a new base every N committed batches.
     sink_mode: str = "cow"
     auto_compact_every: Optional[int] = None
+    # malformed payloads (unparseable JSON -> null struct after from_json):
+    # "keep" emits all-null flattened fields (the tap's permissive shape),
+    # "drop" filters them, "dlq" additionally lands the raw rows in a
+    # dead-letter parquet dir under the table path for replay/inspection.
+    malformed_policy: str = "keep"
 
 
 def prepare_batch(df: DataFrame, conf: PipelineConfig, bookmark: Any) -> DataFrame:
@@ -123,6 +128,25 @@ def process_batch(
                 conf.payload_schema = merge_struct_types(conf.payload_schema, observed)
         if conf.payload_schema is None or not conf.payload_schema.fields:
             return {"skipped": True, "empty": True, "batch_id": batch_id}
+
+        if conf.malformed_policy in ("drop", "dlq"):
+            # PERMISSIVE from_json yields a struct of nulls on bad input;
+            # the standard detector is the corrupt-record column
+            probe_schema = T.StructType(
+                list(conf.payload_schema.fields)
+                + [T.StructField("_corrupt_record", T.StringType(), True)]
+            )
+            parsed = F.from_json(
+                F.col(conf.payload_col),
+                probe_schema,
+                {"columnNameOfCorruptRecord": "_corrupt_record"},
+            )
+            ok = parsed["_corrupt_record"].isNull() | F.col(conf.payload_col).isNull()
+            if conf.malformed_policy == "dlq":
+                raw.filter(~ok).write.mode("append").parquet(
+                    os.path.join(table.path, "dlq", f"batch_id={batch_id}")
+                )
+            raw = raw.filter(ok)
 
     # lineage + high-watermark + affected buckets in ONE cheap pass over the
     # RAW batch (merge keys / seq / ts / payload are all pre-flatten

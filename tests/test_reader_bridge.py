@@ -139,3 +139,38 @@ def test_bridge_inline_schema_maps_to_struct():
     assert conf.payload_schema is not None
     assert conf.payload_schema["id"].dataType == T.LongType()
     assert conf.payload_schema["v"].dataType == T.DoubleType()
+
+
+def test_malformed_payload_policies(spark, tmp_path):
+    """'keep' emits all-null flattened fields; 'drop' filters; 'dlq' lands
+    the raw rows in a dead-letter dir."""
+    import os
+
+    from tap_rest_api_msdk_spark.streaming.pipeline import PipelineConfig, run_batch_replay
+
+    rows = [
+        (0, "k0", json.dumps({"v": 1})),
+        (1, "k1", "{not json at all"),
+        (2, "k2", json.dumps({"v": 3})),
+    ]
+    wal = spark.createDataFrame(rows, "seq long, k string, payload string")
+
+    def run(policy, path):
+        conf = PipelineConfig(
+            stream="m", keys=["k"], replication_key="seq", order_by=["seq"],
+            op_col=None, payload_col="payload", ts_col=None,
+            malformed_policy=policy,
+        )
+        return run_batch_replay(spark, wal, str(tmp_path / path), conf)
+
+    keep = run("keep", "keep")
+    assert keep.to_df().count() == 3
+    assert keep.to_df().filter("k = 'k1'").collect()[0].v is None
+
+    drop = run("drop", "drop")
+    assert {r.k for r in drop.to_df().collect()} == {"k0", "k2"}
+
+    dlq = run("dlq", "dlq")
+    assert {r.k for r in dlq.to_df().collect()} == {"k0", "k2"}
+    dead = spark.read.parquet(str(tmp_path / "dlq" / "dlq"))
+    assert dead.count() == 1 and dead.collect()[0].k == "k1"
