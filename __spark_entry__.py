@@ -12,7 +12,13 @@ exact variants in tests/ (recall >= bounds, no false positives).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make imports robust to the
+# driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -104,6 +104,16 @@ class LakeTable:
         except FileNotFoundError:
             return None
 
+    def manifest_at(self, version: int) -> Optional[dict]:
+        """Historical snapshot manifest (time travel): every commit's
+        manifest is retained under manifests/ until vacuumed."""
+        p = os.path.join(self.path, "manifests", f"v{version:010d}.json")
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
     def _publish(self, manifest: dict) -> None:
         """Write manifest then atomically swing the pointer (POSIX rename)."""
         version = manifest["version"]
@@ -133,13 +143,18 @@ class LakeTable:
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
-    def read(self, buckets: Optional[Sequence[int]] = None) -> Optional[DataFrame]:
+    def read(
+        self,
+        buckets: Optional[Sequence[int]] = None,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
         """Snapshot read (with ``__bucket`` column); optionally restricted
         to a set of buckets — only that subset's files are listed (bucket
         pruning), and because a file may be shared by several colliding
         buckets, a residual ``__bucket IN (...)`` filter keeps exactly the
-        requested rows."""
-        m = self.current_manifest()
+        requested rows. ``version`` time-travels to a historical snapshot
+        (valid until ``vacuum()`` reclaims its files)."""
+        m = self.manifest_at(version) if version is not None else self.current_manifest()
         if m is None:
             return None
         schema = T.StructType.fromJson(m["schema"])
@@ -158,15 +173,19 @@ class LakeTable:
             df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
         return df
 
-    def read_state(self, buckets: Optional[Sequence[int]] = None) -> Optional[DataFrame]:
-        """Resolved current state: LWW over base ∪ delta rows.
+    def read_state(
+        self,
+        buckets: Optional[Sequence[int]] = None,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Resolved state: LWW over base ∪ delta rows (time-travelable).
 
         For a pure copy-on-write table this is a no-op dedup (base is
         already one row per key); for merge-on-read it resolves the delta
         log against the base — the read-side half of the MOR contract.
         """
-        df = self.read(buckets)
-        m = self.current_manifest()
+        df = self.read(buckets, version=version)
+        m = self.manifest_at(version) if version is not None else self.current_manifest()
         if df is None or m is None:
             return df
         if not m.get("deltas"):
@@ -174,6 +193,32 @@ class LakeTable:
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 
         return lww_dedup(df, list(m["keys"]) + ["__bucket"], m["order_by"])
+
+    def changes_since(self, version: int) -> Optional[DataFrame]:
+        """Incremental CDC read: rows in data files ADDED after ``version``.
+
+        Under merge-on-read these are exactly the change rows (delta files
+        hold within-batch LWW winners, incl. tombstones). Under
+        copy-on-write, rewritten buckets carry unchanged rows along —
+        filter by ``replication_key > bookmarks[stream]@version`` for an
+        exact stream (the caller knows its stream name).
+        """
+        old = self.manifest_at(version)
+        new = self.current_manifest()
+        if new is None:
+            return None
+        def all_files(m):
+            out = set()
+            for section in ("files", "deltas"):
+                for flist in m.get(section, {}).values():
+                    out.update(flist)
+            return out
+        added = sorted(all_files(new) - (all_files(old) if old else set()))
+        schema = T.StructType.fromJson(new["schema"])
+        stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
+        if not added:
+            return self.spark.createDataFrame([], stored)
+        return self.spark.read.schema(stored).parquet(*added)
 
     # ------------------------------------------------------------------
     # write path
@@ -451,14 +496,16 @@ class LakeTable:
         return removed
 
     # convenience for tests / oracle comparison
-    def to_df(self, drop_deletes: bool = True) -> Optional[DataFrame]:
-        """Live state of the table (MOR deltas resolved, tombstones
-        filtered by default)."""
-        df = self.read_state()
+    def to_df(
+        self, drop_deletes: bool = True, version: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """State of the table (MOR deltas resolved, tombstones filtered by
+        default; ``version`` time-travels)."""
+        df = self.read_state(version=version)
         if df is None:
             return None
         df = df.drop("__bucket")
-        m = self.current_manifest()
+        m = self.manifest_at(version) if version is not None else self.current_manifest()
         op_col = m.get("op_col") if m else None
         if drop_deletes and op_col and op_col in df.columns:
             df = df.filter(F.col(op_col) != F.lit("delete"))
