@@ -20,7 +20,6 @@ each stream onto this engine's execution config:
 from __future__ import annotations
 
 import datetime as dt
-from typing import Optional
 
 from tap_rest_api_msdk_spark.config import StreamConfig, resolve_streams
 from tap_rest_api_msdk_spark.functions.infer import json_schema_to_struct, struct_from_file

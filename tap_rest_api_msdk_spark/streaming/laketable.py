@@ -38,7 +38,7 @@ import json
 import os
 import time
 import uuid
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -29,7 +29,6 @@ from typing import IO, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-from tap_rest_api_msdk_spark.functions.infer import SchemaAccumulator
 from tap_rest_api_msdk_spark.operators.incremental import serialize_bookmark
 
 _SPARK_TO_JSON_TYPE = {

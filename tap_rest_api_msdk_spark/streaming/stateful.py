@@ -14,7 +14,7 @@ would consume.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
