@@ -254,45 +254,126 @@ def get_planner(pagination_request_style: str) -> Callable:
 # response-style param builders (H1-H4): token -> next-scan parameters
 # ---------------------------------------------------------------------------
 
+def _incremental_params(
+    params: dict,
+    replication_key: str,
+    last_run_date: Any,
+    source_search_field: str,
+    source_search_query: str,
+    use_request_body_not_params: bool,
+) -> None:
+    """Shared H1/H2 incremental-filter block (streams.py:373-390,426-443):
+    a configured search template is ``$last_run_date``-substituted into the
+    search field (JSON-parsed in request-body mode); otherwise ask the
+    server to sort ascending by the replication key."""
+    import json as _json
+    from string import Template
+
+    if not replication_key:
+        return
+    if source_search_field and source_search_query and last_run_date:
+        rendered = Template(source_search_query).substitute(last_run_date=last_run_date)
+        params[source_search_field] = (
+            _json.loads(rendered) if use_request_body_not_params else rendered
+        )
+    else:
+        params["sort"] = "asc"
+        params["order_by"] = replication_key
+
+
 def build_scan_params(
     pagination_response_style: str,
     token: Any,
+    params: Optional[dict] = None,
     page_size: Optional[int] = None,
     next_page_param: Optional[str] = None,
     limit_per_page_param: Optional[str] = None,
     current_path: str = "",
+    replication_key: str = "",
+    last_run_date: Any = None,
+    source_search_field: str = "",
+    source_search_query: str = "",
+    use_request_body_not_params: bool = False,
+    use_fake_since: bool = False,
+    since: Any = None,
 ) -> dict:
-    """Next-request parameters from a continuation token.
+    """Next-request parameters from a continuation token — a faithful
+    mirror of the reference's per-response-style URL-param builders.
 
     H1 page (streams.py:348-392), H2 offset (394-445), H3 header_link
-    query-string parse (447-510), H4 hateoas_body URL parse incl. the
-    stateful path mutation (512-574). Unknown style -> H1 silently
+    (447-510, incl. GitHub sort/direction rules per replication key and
+    the since / If-modified-since conditional-request header), H4
+    hateoas_body (512-574, incl. the stateful path mutation and the
+    ``"gt"+last_run_date`` fallback). Unknown style -> H1 silently
     (streams.py:155-161).
+
+    Returns {"params", "path", "headers"}.
     """
+    import email.utils
+
     style = pagination_response_style
-    params: dict[str, Any] = {}
+    out: dict[str, Any] = dict(params or {})
+    headers: dict[str, str] = {}
     path = current_path
-    if style == "offset" or style == "style1":
+
+    if style in ("offset", "style1"):
         if token is not None:
-            params[next_page_param or "offset"] = token
-        if page_size:
-            params[limit_per_page_param or "limit"] = page_size
+            out[next_page_param or "offset"] = token
+        if page_size is not None:
+            out[limit_per_page_param or "limit"] = page_size
+        _incremental_params(
+            out, replication_key, last_run_date,
+            source_search_field, source_search_query, use_request_body_not_params,
+        )
     elif style == "header_link":
-        if page_size:
-            params["per_page"] = page_size
+        out[limit_per_page_param or "per_page"] = page_size or DEFAULT_PAGE_SIZE
         if token:
-            # token is the query string of the next URL (pagination.py:220-226)
-            params.update({k: v[0] if len(v) == 1 else v for k, v in parse_qs(str(token)).items()})
+            # token = query string of the next URL (pagination.py:220-226);
+            # parse_qs values stay LISTS, as the reference passes them
+            for k, v in parse_qs(str(token)).items():
+                out[k] = v
+        if replication_key == "updated_at":
+            out["sort"] = "updated"
+            out["direction"] = "desc" if use_fake_since else "asc"
+        elif replication_key in ("starred_at", "created_at"):
+            out["sort"] = "created"
+            out["direction"] = "desc"
+        elif replication_key == "commit_timestamp":
+            out["direction"] = "desc"
+        # else: reference only warns (streams.py:495-501)
+        if replication_key and since:
+            out["fake_since" if use_fake_since else "since"] = since
+            # conditional requests save API quota (streams.py:502-508)
+            headers["If-modified-since"] = email.utils.format_datetime(since)
     elif style == "hateoas_body":
+        if page_size and limit_per_page_param:
+            out[limit_per_page_param] = page_size
         if token:
+            from urllib.parse import parse_qsl
+
             parsed = urlparse(str(token))
-            params.update({k: v[0] if len(v) == 1 else v for k, v in parse_qs(parsed.query).items()})
-            if parsed.path:
-                path = parsed.path  # stateful scan-target switch (streams.py:545-555)
+            if parsed.query:
+                out.update(parse_qsl(parsed.query))
+            else:
+                out.update(parse_qsl(parsed.path))
+            # stateful scan-target switch (streams.py:545-555)
+            path = "" if parsed.path == str(token) else parsed.path
+        elif replication_key:
+            if source_search_field and source_search_query and last_run_date:
+                _incremental_params(
+                    out, replication_key, last_run_date,
+                    source_search_field, source_search_query, use_request_body_not_params,
+                )
+            elif source_search_field and last_run_date:
+                out[source_search_field] = "gt" + str(last_run_date)
     else:  # "page", "default", and any UNKNOWN style (silent fallback)
         if token is not None:
-            params[next_page_param or "page"] = token
-    return {"params": params, "path": path}
+            out[next_page_param or "page"] = token
+        _incremental_params(
+            out, replication_key, last_run_date,
+            source_search_field, source_search_query, use_request_body_not_params,
+        )
+    return {"params": out, "path": path, "headers": headers}
 
 
 def pages_to_slices(pages: list[WalPage]) -> list[tuple]:

@@ -198,10 +198,74 @@ def test_build_scan_params_offset_style():
 
 
 def test_build_scan_params_header_link_query_string():
-    # token = query string of next URL (pagination.py:220-226; streams.py:475-478)
+    # token = query string of next URL (pagination.py:220-226); parse_qs
+    # values stay lists exactly like the reference (streams.py:475-478)
     out = build_scan_params("header_link", "page=3&per_page=25", page_size=25)
-    assert out["params"]["page"] == "3"
-    assert out["params"]["per_page"] == "25"
+    assert out["params"]["page"] == ["3"]
+    assert out["params"]["per_page"] == ["25"]
+
+
+def test_build_scan_params_h1_h2_incremental_block():
+    # search template substituted into the search field (streams.py:373-390)
+    out = build_scan_params(
+        "default", None, replication_key="updated",
+        source_search_field="q", source_search_query="updated>$last_run_date",
+        last_run_date="2024-01-01T00:00:00",
+    )
+    assert out["params"]["q"] == "updated>2024-01-01T00:00:00"
+    # request-body mode parses the substituted query as JSON
+    out = build_scan_params(
+        "offset", 10, page_size=5, replication_key="u",
+        source_search_field="query",
+        source_search_query='{"range": {"u": {"gt": "$last_run_date"}}}',
+        last_run_date="2024-06-01", use_request_body_not_params=True,
+    )
+    assert out["params"]["query"] == {"range": {"u": {"gt": "2024-06-01"}}}
+    assert out["params"]["offset"] == 10 and out["params"]["limit"] == 5
+    # no template -> server-side ascending sort (streams.py:388-390)
+    out = build_scan_params("default", None, replication_key="updated")
+    assert out["params"] == {"sort": "asc", "order_by": "updated"}
+
+
+def test_build_scan_params_header_link_github_rules():
+    import datetime as dt
+
+    since = dt.datetime(2024, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
+    out = build_scan_params(
+        "header_link", None, replication_key="updated_at", since=since
+    )
+    assert out["params"]["sort"] == "updated" and out["params"]["direction"] == "asc"
+    assert out["params"]["since"] == since
+    assert "If-modified-since" in out["headers"]  # streams.py:502-508
+    # fake_since flips to desc + the workaround param (streams.py:480-494)
+    out = build_scan_params(
+        "header_link", None, replication_key="updated_at",
+        since=since, use_fake_since=True,
+    )
+    assert out["params"]["direction"] == "desc" and "fake_since" in out["params"]
+    out = build_scan_params("header_link", None, replication_key="starred_at")
+    assert out["params"]["sort"] == "created" and out["params"]["direction"] == "desc"
+    out = build_scan_params("header_link", None, replication_key="commit_timestamp")
+    assert out["params"]["direction"] == "desc" and "sort" not in out["params"]
+
+
+def test_build_scan_params_hateoas_fallbacks():
+    # no token + search field but no template -> "gt"+last_run_date
+    out = build_scan_params(
+        "hateoas_body", None, replication_key="modified",
+        source_search_field="modified", last_run_date="2024-03-04",
+    )
+    assert out["params"]["modified"] == "gt2024-03-04"
+    # bare query-string token: path == token -> path reset (streams.py:548-553)
+    out = build_scan_params("hateoas_body", "cursor=abc", current_path="/v1")
+    assert out["params"]["cursor"] == "abc" and out["path"] == ""
+    # page-size only applied when BOTH knobs configured (streams.py:541-543)
+    out = build_scan_params("hateoas_body", None, page_size=10)
+    assert "limit" not in out["params"] and out["params"] == {}
+    out = build_scan_params(
+        "hateoas_body", None, page_size=10, limit_per_page_param="count"
+    )
+    assert out["params"] == {"count": 10}
 
 
 def test_build_scan_params_hateoas_path_mutation():
