@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
         "join_enrich_broadcast": Q.q_join_enrich_broadcast,
+        "local_supply_revenue": Q.q_local_supply_revenue,
+        "customers_without_orders": Q.q_customers_without_orders,
     }
 
 
@@ -334,6 +336,25 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2, 3
             order by revenue desc, o_orderkey asc
             limit 10
+        """,
+        "local_supply_revenue": """
+            select n_name as nation,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double) as revenue,
+                   count(*) as n_items
+            from lineitem
+            join orders   on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey
+            join nation   on s_nationkey = n_nationkey
+            where c_nationkey = s_nationkey
+            group by 1
+        """,
+        "customers_without_orders": """
+            select c_custkey, c_name, c_mktsegment
+            from customer
+            where not exists (
+                select 1 from orders where o_custkey = c_custkey
+            )
         """,
         "join_enrich_broadcast": """
             select r_name as region, n_name as nation,

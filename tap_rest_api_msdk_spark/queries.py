@@ -388,6 +388,42 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+def q_local_supply_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join (lineitem-orders-customer-supplier-nation)
+    with the same-nation predicate; exercises join reordering + mixed
+    broadcast/shuffle joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    dec = lambda c: c.cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join coverage: customers that never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def q_join_enrich_broadcast(spark, sf_dir):
     """Broadcast-join enrichment: customers per nation/region."""
     cust = _t(spark, sf_dir, "customer")
