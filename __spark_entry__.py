@@ -237,7 +237,7 @@ def oracle_sql() -> dict[str, str]:
                        ) as "rank"
                 from scored
             )
-            select query_id, neighbor_id, round(cos, 4) as cos, "rank"
+            select query_id, neighbor_id, floor(cos * 10000) / 10000 as cos, "rank"
             from ranked where "rank" <= 10
         """,
         "embedding_pairs_exact": """
@@ -246,7 +246,7 @@ def oracle_sql() -> dict[str, str]:
                 from embeddings where vec_id < 200
             )
             select a.vec_id as id_a, b.vec_id as id_b,
-                   round(list_cosine_similarity(a.v, b.v), 4) as cos
+                   floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 as cos
             from e a join e b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.v, b.v) >= 0.4
         """,

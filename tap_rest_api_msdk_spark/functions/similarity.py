@@ -61,7 +61,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "neighbor_id", "cos", "rank")  # raw cos: callers round once
     )
 
 
@@ -133,7 +133,7 @@ def lsh_bucketed_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 

@@ -181,10 +181,12 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 10)
     out = cosine_topk(emb, queries, k=10)
+    # floor-truncate, not round: Spark rounds HALF_UP while DuckDB rounds
+    # half-even, so values landing exactly on a .xxxx5 boundary diverge
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cos", 4).alias("cos"),
+        (F.floor(F.col("cos") * 10000) / 10000).alias("cos"),
         F.col("rank").cast("long").alias("rank"),  # DuckDB row_number is BIGINT
     )
 
@@ -203,7 +205,7 @@ def q_embedding_pairs_exact(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round("cos", 4).alias("cos"),
+            (F.floor(F.col("cos") * 10000) / 10000).alias("cos"),
         )
     )
 
