@@ -90,6 +90,12 @@ class LakeTable:
         self.num_buckets = num_buckets
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        # bucket count is a TABLE property: once committed, the manifest's
+        # value wins over the constructor arg (a mismatched reopen would
+        # silently mis-route keys to the wrong buckets otherwise)
+        m = self.current_manifest()
+        if m and "num_buckets" in m:
+            self.num_buckets = m["num_buckets"]
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -159,18 +165,37 @@ class LakeTable:
             return None
         schema = T.StructType.fromJson(m["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
+        want = None if buckets is None else {int(b) for b in buckets}
         files: set[str] = set()
+        pairs: list[tuple[str, int]] = []  # (file basename, bucket) ownership
         for section in ("files", "deltas"):
             for b, flist in m.get(section, {}).items():
-                if buckets is None or int(b) in set(buckets):
+                if want is None or int(b) in want:
                     files.update(flist)
+                    pairs.extend((os.path.basename(f), int(b)) for f in flist)
         if not files:
             return self.spark.createDataFrame([], stored)
         # schema evolution: read each file with the CURRENT table schema;
         # parquet reader fills missing columns with null by name.
         df = self.spark.read.schema(stored).parquet(*sorted(files))
-        if buckets is not None:
-            df = df.filter(F.col("__bucket").isin(*[int(b) for b in buckets]))
+        # ownership semi-join: a physical file may be SHARED by several
+        # colliding buckets, and a later commit can rewrite one of them —
+        # rows only count for (file, bucket) pairs the manifest still
+        # references, otherwise the sharing bucket's old file would leak
+        # the rewritten bucket's stale rows. File basenames are unique
+        # (epoch dir + task uuid).
+        lookup = self.spark.createDataFrame(
+            sorted(set(pairs)), "__file string, __owned_bucket int"
+        )
+        df = df.withColumn(
+            "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        df = df.join(
+            F.broadcast(lookup),
+            (df["__file"] == lookup["__file"])
+            & (df["__bucket"] == lookup["__owned_bucket"]),
+            "leftsemi",
+        ).drop("__file")
         return df
 
     def read_state(

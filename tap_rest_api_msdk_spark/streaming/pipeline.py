@@ -155,8 +155,10 @@ def process_batch(
     # throughput vs persisting the flattened batch across both passes.
     # Record-shaped streams whose keys live INSIDE the payload fall back to
     # metrics over the flattened batch (pays one extra JSON pass).
+    # table.num_buckets is manifest-authoritative (a reopened table keeps
+    # its committed bucket count even if conf disagrees)
     bucket = F.pmod(
-        F.xxhash64(*[F.col(k) for k in conf.keys]), F.lit(conf.num_buckets)
+        F.xxhash64(*[F.col(k) for k in conf.keys]), F.lit(table.num_buckets)
     ).cast("int")
     metrics_src = (
         raw if all(k in raw.columns for k in conf.keys) else prepare_batch(raw, conf, None)

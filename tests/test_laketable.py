@@ -148,3 +148,25 @@ def test_mm3_hash_matches_spark(spark):
     rep = df.repartition(16, "b").select("b", F.spark_partition_id().alias("p"))
     for r in rep.collect():
         assert bucket_to_partition(r.b, 16) == r.p, r
+
+
+def test_reopen_with_mismatched_num_buckets_is_safe(spark, tmp_path):
+    """Bucket count is a table property: a handle opened with a different
+    constructor value must adopt the manifest's committed count."""
+    from tap_rest_api_msdk_spark.streaming.pipeline import PipelineConfig, process_batch
+
+    t1 = LakeTable(spark, str(tmp_path / "nb"), num_buckets=4)
+    t1.merge_upsert(
+        mk(spark, [(i, f"r{i}", "p", f"c{i}", "upsert", f"v{i}") for i in range(10)]),
+        KEYS, ORDER, 0, op_col="op",
+    )
+    # reopen claiming 16 buckets: manifest's 4 must win
+    t2 = LakeTable(spark, str(tmp_path / "nb"), num_buckets=16)
+    assert t2.num_buckets == 4
+    conf = PipelineConfig(stream="nb", payload_col=None, num_buckets=16, op_col="op")
+    batch = mk(spark, [(100, "r1", "p", "cx", "upsert", "v1b")])
+    process_batch(t2, conf, batch, 1)
+    got = {(r.repo, r.path): r.content for r in t2.to_df().collect()}
+    assert got[("r1", "p")] == "v1b" and len(got) == 10
+    # bucket-pruned read still routes correctly after the update
+    assert t2.to_df().count() == 10
