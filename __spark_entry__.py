@@ -158,9 +158,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             with tok as (
                 select doc_id, {_WS_TOKENS} as w from documents
-            ), sh as (
+            ), sh0 as (
                 select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle
                 from tok, unnest(generate_series(1, greatest(len(w)-2, 1))) as t(i)
+            ), keepsh as (   -- skew guard: drop shingles shared by >100 docs
+                select shingle from sh0 group by shingle having count(*) <= 100
+            ), sh as (
+                select sh0.* from sh0 join keepsh using (shingle)
             ), sizes as (
                 select doc_id, count(*) as sz from sh group by doc_id
             ), inter as (
@@ -174,6 +178,72 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = id_a
             join sizes sb on sb.doc_id = id_b
             where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
+        """,
+        # portable-hash MinHash LSH: md5-derived 60-bit lanes -> banded
+        # buckets -> candidate self-join -> exact-Jaccard verify; the SQL
+        # mirrors operators/neardup.py lane-for-lane (k=32, bands=16, r=2)
+        "dedup_minhash_lsh": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as w from documents
+            ), sh as (
+                select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle
+                from tok, unnest(generate_series(1, greatest(len(w)-2, 1))) as t(i)
+            ), lanes as (
+                select doc_id, l.i as lane,
+                       min(cast(concat('0x', substr(md5(shingle || '|' || l.i), 1, 15)) as bigint)) as mh
+                from sh cross join (select unnest(generate_series(0, 31)) as i) l
+                group by doc_id, l.i
+            ), bands as (
+                select doc_id, lane // 2 as band_idx,
+                       cast(concat('0x', substr(md5(
+                           string_agg(mh::varchar, ',' order by lane) || '|' || (lane // 2)
+                       ), 1, 15)) as bigint) as band_hash
+                from lanes group by doc_id, lane // 2
+            ), cand as (
+                select distinct a.doc_id as id_a, b.doc_id as id_b
+                from bands a join bands b
+                  on a.band_idx = b.band_idx and a.band_hash = b.band_hash
+                 and a.doc_id < b.doc_id
+            ), sz as (
+                select doc_id, count(*) as sz from sh group by doc_id
+            ), inter as (
+                select c.id_a, c.id_b, count(*) as inter
+                from cand c
+                join sh a on a.doc_id = c.id_a
+                join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+                group by 1, 2
+            )
+            select i.id_a, i.id_b,
+                   floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 as jaccard
+            from inter i
+            join sz sa on sa.doc_id = i.id_a
+            join sz sb on sb.doc_id = i.id_b
+            where floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 >= 0.5
+        """,
+        # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
+        # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)
+        "dedup_simhash": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), h as (
+                select doc_id, cast(concat('0x', substr(md5(tk), 1, 15)) as bigint) as h
+                from tok
+            ), bits as (
+                select doc_id, j.j as j,
+                       sum(case when (h >> j.j) & 1 = 1 then 1 else -1 end) as s
+                from h cross join (select unnest(generate_series(0, 59)) as j) j
+                group by doc_id, j.j
+            ), sig as (
+                select doc_id,
+                       cast(sum(case when s > 0 then (1::bigint << j) else 0 end) as bigint) as sig
+                from bits group by doc_id
+            ), b as (
+                select doc_id, sig, sig >> 48 as bucket from sig
+            )
+            select a.doc_id as id_a, b2.doc_id as id_b,
+                   cast(bit_count(xor(a.sig, b2.sig)) as bigint) as hamming
+            from b a join b b2 on a.bucket = b2.bucket and a.doc_id < b2.doc_id
+            where bit_count(xor(a.sig, b2.sig)) <= 6
         """,
         "text_tokens": f"""
             select doc_id,

@@ -29,6 +29,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tap_rest_api_msdk_spark.functions.portable_hash import hash60
+
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -116,9 +118,24 @@ def jaccard_pairs(
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k minhashes, each = min over shingles of xxhash64(shingle, seed=i).
-    Pure JVM higher-order functions; one pass over the shingle array."""
+def minhash_signature(shingles: Column, k: int = 32, portable: bool = False) -> Column:
+    """k minhashes, each = min over shingles of hash(shingle, seed=i).
+    Pure JVM higher-order functions; one pass over the shingle array.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit
+    :func:`~tap_rest_api_msdk_spark.functions.portable_hash.hash60`
+    (seed folded into the hashed string) so an external SQL engine can
+    compute the identical signature — the cross-engine verification mode.
+    """
+    if portable:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(shingles, lambda x, i=i: hash60(F.concat(x, F.lit(f"|{i}"))))
+                )
+                for i in range(k)
+            ]
+        )
     return F.array(
         *[F.array_min(F.transform(shingles, lambda x, i=i: F.xxhash64(x, F.lit(i)))) for i in range(k)]
     )
@@ -131,6 +148,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -140,9 +158,16 @@ def minhash_lsh_candidates(
     """
     assert k % bands == 0
     r = k // bands
+
+    def band_hash(bi: int) -> Column:
+        lane_str = F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])
+        if portable:
+            return hash60(F.concat(lane_str, F.lit(f"|{bi}")))
+        return F.xxhash64(lane_str, F.lit(bi))
+
     base = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    ).withColumn("sig", minhash_signature(F.col("sh"), k, portable=portable))
     banded = base.select(
         "id",
         F.explode(
@@ -150,10 +175,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]),
-                            F.lit(bi),
-                        ).alias("band_hash"),
+                        band_hash(bi).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]
@@ -181,24 +203,29 @@ def minhash_dedup(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on the shingle arrays.
 
     Verification joins the (small) candidate set back to shingle arrays —
     never all-pairs. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    Jaccard is floor-truncated (not rounded) at 6 decimals: floor is
+    bit-identical across engines, while HALF_UP (Spark) vs half-even
+    (DuckDB) rounding diverges on exact .xxxxxx5 grid points.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, portable=portable)
     sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
     out = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            F.floor(
                 F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+                / F.size(F.array_union("sh_a", "sh_b"))
+                * 1000000
+            )
+            / 1000000,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -210,22 +237,30 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column) -> Column:
-    """64-bit SimHash of whitespace tokens, entirely in native expressions.
+def simhash(text: Column, portable: bool = False) -> Column:
+    """SimHash of whitespace tokens, entirely in native expressions.
 
     Per token hash h, each bit j contributes +1 if set else -1; signature
     bit j = 1 iff the sum is positive. The per-bit sums are an
-    ``aggregate`` over the token array with a 64-long accumulator —
+    ``aggregate`` over the token array with a per-bit accumulator —
     one pass, no shuffle, no Python.
+
+    Default: 64-bit signature over xxhash64 token hashes (fast path).
+    ``portable=True``: 60-bit signature over md5-derived hash60 token
+    hashes — every bit position stays in the positive signed-BIGINT range,
+    so an external SQL engine reproduces the signature exactly.
     """
-    # bit masks as a literal array (1<<63 expressed in two's complement —
-    # shiftleft/shiftright builtins take only Python ints for the distance,
-    # so masks are data, not shifts)
-    masks = [1 << j for j in range(63)] + [-(1 << 63)]
+    if portable:
+        masks = [1 << j for j in range(60)]
+    else:
+        # bit masks as a literal array (1<<63 expressed in two's complement —
+        # shiftleft/shiftright builtins take only Python ints for the
+        # distance, so masks are data, not shifts)
+        masks = [1 << j for j in range(63)] + [-(1 << 63)]
     masks_lit = F.lit(masks).cast("array<bigint>")
     tokens = F.split(F.lower(F.trim(text)), "\\s+")
-    hashes = F.transform(tokens, lambda x: F.xxhash64(x))
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    hashes = F.transform(tokens, lambda x: hash60(x) if portable else F.xxhash64(x))
+    zeros = F.array_repeat(F.lit(0).cast("long"), len(masks))
     sums = F.aggregate(
         hashes,
         zeros,
@@ -256,13 +291,17 @@ def simhash_neardups(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed by signature
     prefix so the self-join only meets within buckets (misses pairs that
     differ inside the prefix — standard multi-probe tradeoff; raise
     ``prefix_bits`` blocks or add rotations for higher recall)."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
-    sigs = sigs.withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    sig_bits = 60 if portable else 64
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), portable=portable).alias("sig")
+    )
+    sigs = sigs.withColumn("bucket", F.shiftrightunsigned("sig", sig_bits - prefix_bits))
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

@@ -119,20 +119,33 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Skew guard ON by default (max_shingle_freq): at web scale a
+    boilerplate shingle shared by >100 docs is a quadratic hot key in the
+    inverted-index self-join; the cap bounds per-shingle fan-out. The
+    oracle SQL carries the identical document-frequency filter."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_freq=100)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Scale-path near-dup (no SQL oracle: xxhash64 is Spark-specific;
-    correctness pinned by tests/test_neardup.py recall-vs-exact)."""
+    """Banded MinHash LSH + exact-Jaccard verify, in portable-hash mode
+    (md5-derived 60-bit lanes) so the full pipeline — signatures, band
+    buckets, candidate join, verification — is twinned exactly in DuckDB."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5)
+    return minhash_dedup(
+        docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5, portable=True
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """60-bit portable SimHash + prefix-bucketed hamming join (exact DuckDB
+    twin via the same md5-derived token hashes)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardups(docs, "doc_id", "text", max_hamming=6, prefix_bits=12)
+    out = simhash_neardups(
+        docs, "doc_id", "text", max_hamming=6, prefix_bits=12, portable=True
+    )
+    # DuckDB bit_count returns a narrow int; pin both sides to BIGINT
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
