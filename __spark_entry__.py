@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark import queries as Q
+from tap_rest_api_msdk_spark.functions.sketch import hll_oracle_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -320,6 +321,54 @@ def oracle_sql() -> dict[str, str]:
             from e a join e b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.v, b.v) >= 0.4
         """,
+        # portable LSH-ANN: md5-derived +/-1 hyperplanes (component (t,p,d)
+        # = +1 iff hash60("t|p|d") is odd), quantized floor(x*1e7) dots
+        # (exact integers < 2^53 -> order-independent sums), 16 tables x 8
+        # planes, exact cosine re-rank — mirrors lsh_bucketed_topk_portable
+        "ann_lsh_topk": """
+            with coords as (
+                select t.t, p.p
+                from (select unnest(generate_series(0, 15)) as t) t
+                cross join (select unnest(generate_series(0, 7)) as p) p
+            ), planes as (
+                select t, p,
+                       list_transform(generate_series(0, 63), d ->
+                           case when cast(concat('0x', substr(md5(
+                                    t::varchar || '|' || p::varchar || '|' || d::varchar
+                                ), 1, 15)) as bigint) & 1 = 1
+                                then 1.0 else -1.0 end) as plane
+                from coords
+            ), e as (
+                select vec_id,
+                       cast(embedding as double[]) as v,
+                       list_transform(embedding, x -> floor(x::double * 10000000.0)) as qv
+                from embeddings
+            ), bucks as (
+                select e.vec_id, pl.t,
+                       cast(sum(case when list_dot_product(e.qv, pl.plane) > 0
+                                     then (1::bigint << pl.p) else 0 end) as bigint) as bucket
+                from e cross join planes pl
+                group by e.vec_id, pl.t
+            ), cand as (
+                select distinct q.vec_id as query_id, c.vec_id as neighbor_id
+                from bucks q join bucks c on q.t = c.t and q.bucket = c.bucket
+                where q.vec_id < 10 and c.vec_id <> q.vec_id
+            ), scored as (
+                select cand.query_id, cand.neighbor_id,
+                       list_cosine_similarity(eq.v, ec.v) as cos
+                from cand
+                join e eq on eq.vec_id = cand.query_id
+                join e ec on ec.vec_id = cand.neighbor_id
+            ), ranked as (
+                select query_id, neighbor_id, cos,
+                       row_number() over (
+                           partition by query_id order by cos desc, neighbor_id asc
+                       ) as "rank"
+                from scored
+            )
+            select query_id, neighbor_id, floor(cos * 10000) / 10000 as cos, "rank"
+            from ranked where "rank" <= 10
+        """,
         "lww_latest_state_salted": """
             with ranked as (
                 select *, row_number() over (
@@ -386,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(distinct user_id) as n_users
             from events group by event_type
         """,
+        "approx_distinct_users": hll_oracle_sql(
+            "events", "event_type", "user_id", p=10, out_col="n_users_approx"
+        ),
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    cast(sum(cast(l_quantity as decimal(28,6))) as double) as sum_qty,

@@ -137,6 +137,107 @@ def lsh_bucketed_topk(
     )
 
 
+def _md5_hyperplanes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from the portable 60-bit hash:
+    component (t, p, d) = +1 iff hash60(f"{t}|{p}|{d}") is odd. The SAME
+    formula is computable in any SQL engine with md5() — the hyperplanes
+    need no RNG state to ship, only the (table, plane, dim) coordinates."""
+    from tap_rest_api_msdk_spark.functions.portable_hash import hash60_py
+
+    return [
+        [1.0 if hash60_py(f"{table}|{p}|{d}") & 1 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def quantized_dot(vec: Column, plane: list[float]) -> Column:
+    """Exactly-deterministic plane dot: components are floor(x * 1e7)
+    integers (|q| <= 1e7 for unit-scale embeddings), so every product and
+    partial sum is an exact integer below 2^53 — IEEE addition of exact
+    integers is associative there, making the sign of the dot identical
+    across engines and summation orders (plain float dots are NOT: a ±ulp
+    near zero flips the LSH bit)."""
+    qv = F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(10000000.0)))
+    return F.aggregate(
+        F.zip_with(qv, F.lit(plane).cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def portable_lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket id over md5-derived hyperplanes and quantized dots."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        out = out.bitwiseOR(
+            F.when(quantized_dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def lsh_bucketed_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH + exact cosine re-rank, portable mode.
+
+    Same plan shape as :func:`lsh_bucketed_topk` (bucket-keyed join, never
+    all-pairs), but every stochastic ingredient — hyperplane signs, dot
+    signs — is derived from the md5 portable hash over exact integer
+    arithmetic, so an external SQL engine reproduces the IDENTICAL
+    candidate set, re-rank scores, and top-k. Candidates travel as id
+    pairs (vectors re-joined afterwards): at 10^10 vectors the bucket
+    shuffle then carries 16 bytes/row, not the embedding payload.
+    """
+    tables = [_md5_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    portable_lsh_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(buckets).alias("b")
+        ).select(out_id, "b.tbl", "b.bucket")
+
+    c = with_buckets(corpus, "neighbor_id")
+    q = with_buckets(queries, "query_id")
+    cands = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = cands.join(qvec, "query_id").join(cvec, "neighbor_id").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_neardups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -224,10 +224,23 @@ def q_embedding_pairs_exact(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (no SQL oracle — recall pinned vs exact in tests)."""
+    """LSH-bucketed ANN, portable mode: md5-derived hyperplanes + exact
+    quantized dot signs make the candidate set (and therefore the re-ranked
+    top-k) bit-reproducible in DuckDB — a full SQL oracle for the scale
+    path. n_planes=8 (256 buckets/table) x n_tables=16: bucket granularity
+    scales with corpus size (raise n_planes as n grows; the join stays
+    keyed by (table, bucket), never all-pairs)."""
+    from tap_rest_api_msdk_spark.functions.similarity import lsh_bucketed_topk_portable
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=16)
+    out = lsh_bucketed_topk_portable(emb, queries, dim=64, k=10, n_planes=8, n_tables=16)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("cos") * 10000) / 10000).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -394,13 +407,16 @@ def q_distinct_users_exact(spark, sf_dir):
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """HLL++ sketch distinct-count — the 100 TB path (no oracle: sketch
-    values are implementation-specific; accuracy pinned vs the exact twin
-    in tests)."""
+    """HLL sketch distinct-count — the 100 TB path, as an EXPLICIT portable
+    HyperLogLog (registers + harmonic estimate + linear-counting
+    correction) so DuckDB verifies the sketch bit-for-bit. Same merge
+    topology as the built-in approx_count_distinct (partial max per
+    register, <= 2^p rows/group through the shuffle); accuracy additionally
+    pinned vs the exact twin in tests."""
+    from tap_rest_api_msdk_spark.functions.sketch import hll_distinct
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
-    )
+    return hll_distinct(ev, ["event_type"], "user_id", p=10, out_col="n_users_approx")
 
 
 def q_local_supply_revenue(spark, sf_dir):
