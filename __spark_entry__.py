@@ -76,9 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping sets / set ops
         "rollup_revenue": Q.q_rollup_revenue,
         "set_ops_active_users": Q.q_set_ops_active_users,
-        # multimodal plumbing (rows-only: mapInPandas kernels, no SQL twin)
+        # multimodal: real stdlib codecs (PPM/WAV/FAKV), formula-oracled
         "multimodal_image_features": Q.q_multimodal_image_features,
         "multimodal_frame_sampling": Q.q_multimodal_frame_sampling,
+        "multimodal_audio_features": Q.q_multimodal_audio_features,
         # percentiles / distinct sketches
         "value_percentiles": Q.q_value_percentiles,
         "distinct_users_exact": Q.q_distinct_users_exact,
@@ -423,6 +424,68 @@ def oracle_sql() -> dict[str, str]:
             except all
             select distinct user_id from events
             where event_type = 'error' and event_id < 1000
+        """,
+        # multimodal oracles: the Spark side DECODES real container bytes
+        # (PPM/WAV/FAKV); the oracle recomputes every decoded feature from
+        # the deterministic asset-generation formulas — decode correctness
+        # is verified end-to-end, not assumed
+        "multimodal_image_features": """
+            with a as (select unnest(generate_series(0, 499)) as asset_id),
+            dims as (
+                select asset_id,
+                       8 + (asset_id * 7) % 24 as w,
+                       8 + (asset_id * 11) % 24 as h
+                from a
+            ), px as (
+                select d.asset_id,
+                       sum((d.asset_id * 31 + k.k * 17) % 256) as pixel_sum
+                from dims d, unnest(generate_series(0, d.w * d.h * 3 - 1)) as k(k)
+                group by d.asset_id
+            )
+            select d.asset_id, 'image' as kind,
+                   cast(9 + len(w::varchar) + len(h::varchar) + w * h * 3 as bigint) as n_bytes,
+                   cast(w as bigint) as width,
+                   cast(h as bigint) as height,
+                   cast(3 as bigint) as channels,
+                   cast(px.pixel_sum as bigint) as pixel_sum
+            from dims d join px on px.asset_id = d.asset_id
+        """,
+        "multimodal_frame_sampling": """
+            with a as (select unnest(generate_series(0, 199)) as asset_id),
+            f as (
+                select asset_id,
+                       unnest(generate_series(
+                           0, greatest(least((64 + asset_id % 64) // 16, 4), 1) - 1
+                       )) as frame_idx
+                from a
+            )
+            select asset_id, 'video' as kind,
+                   cast(frame_idx as bigint) as frame_idx,
+                   cast(frame_idx * 16 as bigint) as frame_offset,
+                   cast((asset_id * 31 + frame_idx * 16 * 17) % 256 as bigint) as frame_byte
+            from f
+        """,
+        "multimodal_audio_features": """
+            with a as (select unnest(generate_series(0, 299)) as asset_id),
+            p as (
+                select asset_id,
+                       8000 * (1 + asset_id % 6) as rate,
+                       256 + (asset_id * 13) % 256 as n
+                from a
+            ), s as (
+                select p.asset_id,
+                       sum(((p.asset_id * 13 + i.i * 7) % 4096 - 2048)
+                           * ((p.asset_id * 13 + i.i * 7) % 4096 - 2048)) as sq
+                from p, unnest(generate_series(0, p.n - 1)) as i(i)
+                group by p.asset_id
+            )
+            select p.asset_id, 'audio' as kind,
+                   cast(44 + 2 * p.n as bigint) as n_bytes,
+                   cast(rate as bigint) as sample_rate,
+                   cast(p.n as bigint) as n_samples,
+                   cast(s.sq as bigint) as sq_sum,
+                   floor(sqrt(s.sq / p.n) * 1000000) / 1000000 as rms
+            from p join s using (asset_id)
         """,
         "value_percentiles": """
             select event_type,

@@ -368,23 +368,36 @@ def q_set_ops_active_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (deterministic synthetic binary assets; codec stubbed —
-# rows-only driver check, plumbing pinned by tests/test_multimodal.py)
+# multimodal: REAL stdlib codecs (PPM / WAV / FAKV container) over
+# deterministic synthetic binary assets — decode output is integer-exact,
+# so DuckDB verifies it from the generation formulas alone (full oracles)
 # ---------------------------------------------------------------------------
 
 def q_multimodal_image_features(spark, sf_dir):
+    """Arrow-batched REAL PPM decode: header dims + exact pixel-plane sum."""
     from tap_rest_api_msdk_spark.functions.multimodal import (
         decode_image_features,
         synth_assets,
     )
 
-    return decode_image_features(synth_assets(spark, 500), fake=True)
+    return decode_image_features(synth_assets(spark, 500))
 
 
 def q_multimodal_frame_sampling(spark, sf_dir):
+    """Frame sampling reading REAL payload bytes at sampled offsets."""
     from tap_rest_api_msdk_spark.functions.multimodal import sample_frames, synth_assets
 
     return sample_frames(synth_assets(spark, 200, kind="video"), every_n_bytes=16, max_frames=4)
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """REAL RIFF/WAVE PCM16 parse: header fields + exact energy stats."""
+    from tap_rest_api_msdk_spark.functions.multimodal import (
+        decode_audio_features,
+        synth_assets,
+    )
+
+    return decode_audio_features(synth_assets(spark, 300, kind="audio"))
 
 
 def q_value_percentiles(spark, sf_dir):

@@ -1,10 +1,12 @@
-"""Multimodal plumbing: binary columns, Arrow-batched decode kernels
-(stubbed codec), frame sampling fan-out."""
+"""Multimodal plumbing: binary columns, Arrow-batched decode kernels with
+REAL stdlib codecs (PPM / WAV / FAKV container), frame sampling fan-out."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark.functions.multimodal import (
+    _synth_audio,
+    _synth_image,
     decode_audio_features,
     decode_image_features,
     resize_stub,
@@ -13,38 +15,52 @@ from tap_rest_api_msdk_spark.functions.multimodal import (
 )
 
 
-def test_decode_image_stub_raises_without_fake(spark):
-    df = synth_assets(spark, 4)
+def test_decode_image_raises_on_unknown_codec(spark):
+    """Non-PPM magic (e.g. JPEG) -> NotImplementedError: codec honesty."""
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-not-decodable"), None)],
+        "asset_id long, kind string, data binary, meta map<string,string>",
+    )
     with pytest.raises(Exception) as ei:
-        decode_image_features(df, fake=False).collect()
+        decode_image_features(df).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
-def test_decode_image_fake_is_deterministic(spark):
+def test_decode_image_real_ppm(spark):
+    """The decoder parses REAL P6 headers/pixels: dims and pixel sums match
+    the generation formulas and are partition-invariant."""
     df = synth_assets(spark, 50)
-    a = {r.asset_id: (r.width, r.height, r.channels, r.sha256) for r in decode_image_features(df, fake=True).collect()}
-    b = {r.asset_id: (r.width, r.height, r.channels, r.sha256) for r in decode_image_features(df.repartition(7), fake=True).collect()}
+    a = {r.asset_id: (r.width, r.height, r.channels, r.n_bytes, r.pixel_sum)
+         for r in decode_image_features(df).collect()}
+    b = {r.asset_id: (r.width, r.height, r.channels, r.n_bytes, r.pixel_sum)
+         for r in decode_image_features(df.repartition(7)).collect()}
     assert a == b  # partitioning must not change results
     assert len(a) == 50
-    for w, h, c, sha in a.values():
-        assert 64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 4 and len(sha) == 64
+    for aid, (w, h, c, nb, psum) in a.items():
+        assert w == 8 + (aid * 7) % 24 and h == 8 + (aid * 11) % 24 and c == 3
+        assert nb == len(_synth_image(aid))
+        assert psum == sum((aid * 31 + k * 17) % 256 for k in range(w * h * 3))
 
 
-def test_decode_audio_fake(spark):
+def test_decode_audio_real_wav(spark):
     df = synth_assets(spark, 10, kind="audio")
-    rows = decode_audio_features(df, fake=True).collect()
+    rows = decode_audio_features(df).collect()
     assert len(rows) == 10
     for r in rows:
-        assert r.sample_rate % 8000 == 0 and 0 <= r.rms <= 1
+        assert r.sample_rate == 8000 * (1 + r.asset_id % 6)
+        assert r.n_samples == 256 + (r.asset_id * 13) % 256
+        assert r.n_bytes == len(_synth_audio(r.asset_id))
+        assert 0 < r.rms < 2048
 
 
-def test_sample_frames_bounded_fanout(spark):
+def test_sample_frames_reads_real_bytes(spark):
     df = synth_assets(spark, 5, kind="video")
     out = sample_frames(df, every_n_bytes=16, max_frames=4)
     counts = out.groupBy("asset_id").count().collect()
     assert all(1 <= r["count"] <= 4 for r in counts)
-    offs = out.filter(F.col("asset_id") == 0).select("frame_offset").collect()
-    assert [r[0] for r in offs] == [0, 16, 32, 48]
+    rows = out.filter(F.col("asset_id") == 3).orderBy("frame_idx").collect()
+    assert [r.frame_offset for r in rows] == [0, 16, 32, 48]
+    assert all(r.frame_byte == (3 * 31 + r.frame_offset * 17) % 256 for r in rows)
 
 
 def test_resize_stub_records_target(spark):
