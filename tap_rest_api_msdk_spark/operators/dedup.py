@@ -64,7 +64,10 @@ def lww_dedup(
     ]
     out = agg.select(*out_cols)
     if drop_delete_op_col:
-        out = out.filter(F.col(drop_delete_op_col) != F.lit("delete"))
+        out = out.filter(
+            F.col(drop_delete_op_col).isNull()
+            | (F.col(drop_delete_op_col) != F.lit("delete"))
+        )
     return out
 
 
@@ -83,7 +86,10 @@ def lww_dedup_window(
         .drop("__rn")
     )
     if drop_delete_op_col:
-        out = out.filter(F.col(drop_delete_op_col) != F.lit("delete"))
+        out = out.filter(
+            F.col(drop_delete_op_col).isNull()
+            | (F.col(drop_delete_op_col) != F.lit("delete"))
+        )
     return out
 
 
@@ -107,5 +113,8 @@ def lww_dedup_salted(
     phase1 = lww_dedup(salted, list(keys) + ["__salt"], order_by)
     phase2 = lww_dedup(phase1.drop("__salt"), keys, order_by)
     if drop_delete_op_col:
-        phase2 = phase2.filter(F.col(drop_delete_op_col) != F.lit("delete"))
+        phase2 = phase2.filter(
+            F.col(drop_delete_op_col).isNull()
+            | (F.col(drop_delete_op_col) != F.lit("delete"))
+        )
     return phase2

@@ -121,6 +121,29 @@ def plan_header_link(pages, **kw):
     )
 
 
+def _rep_date_before(rep_date, since) -> bool:
+    """P4 early-exit comparison: parse both sides as datetimes (the
+    reference parses with dateutil, pagination.py:212-218) so timestamps
+    with differing offsets/formats order correctly; fall back to string
+    comparison only when either side doesn't parse."""
+    from datetime import datetime
+
+    def _parse(v):
+        s = str(v).strip().replace("Z", "+00:00")
+        try:
+            return datetime.fromisoformat(s)
+        except ValueError:
+            return None
+
+    a, b = _parse(rep_date), _parse(since)
+    if a is not None and b is not None:
+        try:
+            return a < b
+        except TypeError:  # aware vs naive mix: fall back to strings
+            pass
+    return str(rep_date) < str(since)
+
+
 def plan_restapi_header_link(
     pages,
     page_size: int = DEFAULT_PAGE_SIZE,
@@ -154,7 +177,7 @@ def plan_restapi_header_link(
                 if replication_key == "commit_timestamp"
                 else last.get(replication_key)
             )
-            if since and direction == "desc" and rep_date is not None and str(rep_date) < str(since):
+            if since and direction == "desc" and rep_date is not None and _rep_date_before(rep_date, since):
                 break
     return out
 

@@ -296,6 +296,21 @@ class LakeTable:
         )
         old_schema = self.schema()
         new_schema = merge_schemas(old_schema, batch_schema) if old_schema else batch_schema
+        # REFUSE type drift on merge-key columns: __bucket = hash(keys), so
+        # widening a key (long -> double) re-hashes existing rows into
+        # different buckets than the manifest has them filed under — rows
+        # would silently vanish or duplicate. Keys must keep their creation
+        # type; cast upstream if a source starts sending a wider type.
+        if old_schema is not None:
+            old_types = {f.name: f.dataType for f in old_schema.fields}
+            new_types = {f.name: f.dataType for f in new_schema.fields}
+            for k in keys:
+                if k in old_types and old_types[k] != new_types.get(k, old_types[k]):
+                    raise ValueError(
+                        f"merge-key type drift on '{k}': "
+                        f"{old_types[k].simpleString()} -> {new_types[k].simpleString()}; "
+                        "widening a key column would re-bucket existing rows (refused)"
+                    )
 
         def align(df: DataFrame) -> DataFrame:
             cols = []
@@ -533,5 +548,8 @@ class LakeTable:
         m = self.manifest_at(version) if version is not None else self.current_manifest()
         op_col = m.get("op_col") if m else None
         if drop_deletes and op_col and op_col in df.columns:
-            df = df.filter(F.col(op_col) != F.lit("delete"))
+            # NULL-safe: a row whose op is null (e.g. null-filled by schema
+            # alignment) is a LIVE row, not a tombstone — a plain != would
+            # evaluate NULL and silently drop it
+            df = df.filter(F.col(op_col).isNull() | (F.col(op_col) != F.lit("delete")))
         return df

@@ -47,7 +47,14 @@ def start_all(
     max_files_per_trigger: Optional[int] = 4,
     available_now: bool = True,
 ) -> dict:
-    """Start one streaming query per stream (concurrent tails)."""
+    """Start one streaming query per stream (concurrent tails).
+
+    ``available_now=True`` starts every stream with a non-blocking
+    ``Trigger.AvailableNow`` — Spark's scheduler interleaves the drains —
+    then ``awaitTermination`` on each: the trigger self-terminates once the
+    backlog is consumed, so there is no polling loop. ``available_now=
+    False`` leaves continuous tails running (caller owns their lifecycle).
+    """
     out = {}
     queries = []
     for stream, conf, _planner in build_pipelines(tap_config):
@@ -61,17 +68,12 @@ def start_all(
             conf,
             checkpoint_dir=os.path.join(table_root, stream.name, "_checkpoint"),
             max_files_per_trigger=max_files_per_trigger,
-            available_now=False,  # start() without blocking; drain below
+            available_now=available_now,
+            block=False,  # start all first; drain concurrently below
         )
         out[stream.name] = table
         queries.append(q)
     if available_now:
-        # drain concurrently: wait until all tails are idle then stop
         for q in queries:
-            while q.status["isDataAvailable"] or q.status["isTriggerActive"]:
-                import time as _t
-
-                _t.sleep(0.2)
-            q.stop()
-            q.awaitTermination()
+            q.awaitTermination()  # availableNow self-terminates when drained
     return out

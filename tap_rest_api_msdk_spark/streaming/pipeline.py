@@ -92,9 +92,27 @@ def process_batch(
     table: LakeTable, conf: PipelineConfig, batch_df: DataFrame, batch_id: int
 ) -> dict:
     """One idempotent micro-batch commit (data + bookmarks + lineage)."""
+    # batch-id ledger check FIRST: a replayed (already-committed) batch must
+    # be a complete no-op — merge_upsert would skip it anyway, but side
+    # channels (the DLQ append, metrics work) must not run twice either
+    if batch_id <= table.last_committed_batch_id:
+        return {"skipped": True, "batch_id": batch_id}
+
     store = BookmarkStore(table, conf.stream, conf.start_date)
     bookmark = store.get()
     raw = incremental_filter(batch_df, conf.replication_key, bookmark)
+
+    # F11 result cap across batches (pagination_results_limit): stop once
+    # the table has committed `result_limit` records; a partial batch is
+    # truncated deterministically by replication-key order
+    records_committed = (table.current_manifest() or {}).get("records_committed", 0)
+    if conf.result_limit is not None:
+        remaining = conf.result_limit - records_committed
+        if remaining <= 0:
+            return {"skipped": True, "result_limit_reached": True, "batch_id": batch_id}
+        from tap_rest_api_msdk_spark.operators.incremental import result_limit as _cap
+
+        raw = _cap(raw.orderBy(conf.replication_key), remaining)
 
     # F4 dynamic discovery + drift handling: no schema supplied -> infer
     # from an N+1 sample (tap.py:557-640 analog); on later batches, merge
@@ -143,7 +161,9 @@ def process_batch(
             )
             ok = parsed["_corrupt_record"].isNull() | F.col(conf.payload_col).isNull()
             if conf.malformed_policy == "dlq":
-                raw.filter(~ok).write.mode("append").parquet(
+                # overwrite into the per-batch dir (plus the ledger check
+                # above): DLQ landing is idempotent under crash-replay
+                raw.filter(~ok).write.mode("overwrite").parquet(
                     os.path.join(table.path, "dlq", f"batch_id={batch_id}")
                 )
             raw = raw.filter(ok)
@@ -177,6 +197,7 @@ def process_batch(
     per_part = {r["partition_id"]: r["max_replication_key"] for r in mrows}
 
     shaped = prepare_batch(raw, conf, None)  # bookmark already applied
+    batch_rows = sum(r["event_count"] for r in mrows)
     stats = table.merge_upsert(
         shaped,
         keys=conf.keys,
@@ -184,6 +205,7 @@ def process_batch(
         batch_id=batch_id,
         op_col=conf.op_col,
         bookmark_updates=store.updates_for(hw, per_part),
+        extra_manifest={"records_committed": records_committed + batch_rows},
         affected_buckets=sorted(per_part),  # lineage partition == merge bucket
         mode=conf.sink_mode,
     )
@@ -234,13 +256,16 @@ def run_streaming(
     checkpoint_dir: Optional[str] = None,
     max_files_per_trigger: Optional[int] = 1,
     available_now: bool = True,
+    block: bool = True,
 ):
     """Tail the WAL directory with a file-streaming source.
 
     ``maxFilesPerTrigger`` is the engine's ``pagination_page_size``
     (SURVEY §1.1); ``Trigger.AvailableNow`` drains the backlog then stops
     (the P7 single-page one-shot analog) — set ``available_now=False`` for
-    a continuously-running tail.
+    a continuously-running tail. ``block=False`` returns immediately after
+    ``start()`` so several availableNow drains can run CONCURRENTLY (the
+    caller awaits each query; orchestrate.start_all does exactly this).
     """
     table = LakeTable(spark, table_path, num_buckets=conf.num_buckets)
     reader = spark.readStream.schema(wal_schema)
@@ -256,6 +281,7 @@ def run_streaming(
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        if block:
+            q.awaitTermination()
         return table, q
     return table, writer.start()
