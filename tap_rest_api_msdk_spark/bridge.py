@@ -59,15 +59,47 @@ def pipeline_config_for(stream: StreamConfig, payload_col: str = "payload") -> P
     )
 
 
+def planner_kwargs_for(stream: StreamConfig) -> dict:
+    """Every pagination knob the config resolved, mapped onto planner
+    parameters — no config key is accepted-then-ignored. Planners take
+    ``**kw``, so the superset is safe to bind for any style:
+
+    * ``next_page_token_path`` serves P1/P2/P6 directly, P5's pagination
+      node (``jsonpath=self.next_page_token_jsonpath``, streams.py:316) and
+      P8's hasMore path (streams.py:329) — exactly the reference's reuse.
+    * ``pagination_initial_offset`` -> P5/P8 ``start_value``
+      (streams.py:313,328).
+    * ``offset_records_jsonpath`` -> P9 record counting
+      (pagination.py:104-112).
+    """
+    from tap_rest_api_msdk_spark.config import DEFAULT_PAGE_SIZE as _PS
+
+    return {
+        "page_size": stream.pagination_page_size or _PS,
+        "results_limit": stream.pagination_results_limit,
+        "next_page_token_path": stream.next_page_token_path,
+        "pagination_jsonpath": stream.next_page_token_path,
+        "has_more_jsonpath": stream.next_page_token_path,
+        "total_limit_param": stream.pagination_total_limit_param or "total",
+        "initial_offset": stream.pagination_initial_offset,
+        "offset_records_jsonpath": stream.offset_records_jsonpath,
+        "replication_key": stream.replication_key,
+    }
+
+
 def build_pipelines(tap_config: dict) -> list[tuple[StreamConfig, PipelineConfig, object]]:
     """Resolve a full tap config -> [(stream, pipeline conf, planner fn)].
 
     The planner function implements the stream's pagination style over WAL
-    pages; unknown request styles raise (streams.py:338-346 parity) at
-    build time, not at run time.
+    pages with the stream's resolved knobs pre-bound (``planner(pages)``
+    just works); unknown request styles raise (streams.py:338-346 parity)
+    at build time, not at run time.
     """
+    import functools
+
     out = []
     for stream in resolve_streams(tap_config):
         planner = get_planner(stream.pagination_request_style)
-        out.append((stream, pipeline_config_for(stream), planner))
+        bound = functools.partial(planner, **planner_kwargs_for(stream))
+        out.append((stream, pipeline_config_for(stream), bound))
     return out

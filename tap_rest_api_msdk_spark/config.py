@@ -44,6 +44,60 @@ REQUEST_STYLES = {
 
 RESPONSE_STYLES = {"page", "default", "offset", "style1", "header_link", "hateoas_body"}
 
+AUTH_METHODS = {"api_key", "basic", "oauth", "bearer_token", "aws", "no_auth"}
+
+# credential keys the reference's authenticators read (auth.py:144-153,
+# 225-275) — carried through as source/sink credential options
+_AUTH_KEYS = (
+    "auth_method", "api_keys", "username", "password", "bearer_token",
+    "access_token_url", "client_id", "client_secret", "refresh_token",
+    "grant_type", "scope", "redirect_uri", "oauth_extras",
+    "oauth_expiration_secs", "aws_credentials",
+)
+
+
+def validate_auth(config: dict) -> Optional[dict]:
+    """A2-A5 config-surface parity (validate-and-map; no HTTP here).
+
+    The engine performs no HTTP, but a tap config carrying ``auth_method``
+    must not be silently ignored: this validates it with the reference's
+    exact rules and error text — unknown method raises
+    (auth.py:276-284), OAuth grant types check their mandatory parameters
+    (auth.py:156-179) — and returns the credential options dict a real
+    deployment maps onto its source/sink connection (e.g. Kafka SASL,
+    object-store credentials). Returns None when no auth is configured.
+    """
+    method = config.get("auth_method", "")
+    if not method:
+        return None
+    if method not in AUTH_METHODS:
+        raise ValueError(
+            f"Unknown authentication method {method}. Use api_key, basic, oauth, "
+            f"bearer_token, or aws."
+        )
+    if method == "oauth":
+        grant_type = config.get("grant_type")
+        if not grant_type:
+            raise ValueError("Missing grant type for OAuth Token.")
+        if grant_type == "client_credentials" and not (
+            config.get("client_id") and config.get("client_secret")
+        ):
+            raise ValueError(
+                "Missing either client_id or client_secret for "
+                "'client_credentials' grant_type."
+            )
+        if grant_type == "password" and not (
+            config.get("username") and config.get("password")
+        ):
+            raise ValueError(
+                "Missing either username or password for 'password' grant_type."
+            )
+        if grant_type == "refresh_token" and not config.get("refresh_token"):
+            raise ValueError(
+                "Missing either refresh_token for 'refresh_token' grant_type."
+            )
+    return {k: config[k] for k in _AUTH_KEYS if k in config}
+
 
 @dataclass
 class StreamConfig:
@@ -75,6 +129,8 @@ class StreamConfig:
     pagination_initial_offset: int = 1
     use_request_body_not_params: bool = False
     store_raw_json_message: bool = False
+    # validated credential options (A2-A5 surface); None = no auth config
+    auth: Optional[dict] = None
 
 
 # keys resolved stream-first with a plain top-level fallback (tap.py:456-477)
@@ -120,6 +176,12 @@ def resolve_streams(config: dict) -> list[StreamConfig]:
         # dict-merge with the stream winning (tap.py:462-463)
         kwargs["params"] = {**config.get("params", {}), **stream.get("params", {})}
         kwargs["headers"] = {**config.get("headers", {}), **stream.get("headers", {})}
+        # auth: stream config overrides tap config (the reference's
+        # my_config = stream._config or tap.config precedence, auth.py:219-223);
+        # validated HERE so a bad auth config fails at resolve time
+        auth_src = {k: v for k, v in config.items() if k in _AUTH_KEYS}
+        auth_src.update({k: v for k, v in stream.items() if k in _AUTH_KEYS})
+        kwargs["auth"] = validate_auth(auth_src)
         schema_config = stream.get("schema")
         if isinstance(schema_config, str):
             kwargs["schema_file"] = schema_config

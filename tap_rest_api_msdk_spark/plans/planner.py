@@ -56,21 +56,21 @@ class WalPage:
     links: dict = field(default_factory=dict)
     seq_range: Optional[tuple] = None
     request_url: str = ""
+    # set by offset/page-number planners: the continuation token the NEXT
+    # request would carry (start_value=pagination_initial_offset parity,
+    # streams.py:312-321,327-330); consumed by build_scan_params
+    next_token: Any = None
 
 
 def jsonpath_get(path: Optional[str], obj: Any) -> Any:
-    """Dotted-path subset of jsonpath: ``$.a.b`` / ``a.b``."""
+    """First jsonpath match (full grammar: dotted/bracket fields, ``[*]``,
+    indexes, ``[?(@.field=='v')]`` predicates, the ``split`` extension —
+    see plans/jsonpath.py). ``next(extract_jsonpath(...), None)`` parity."""
     if not path:
         return None
-    cur = obj
-    for part in path.lstrip("$").strip(".").split("."):
-        if not part:
-            continue
-        if isinstance(cur, dict):
-            cur = cur.get(part)
-        else:
-            return None
-    return cur
+    from tap_rest_api_msdk_spark.plans.jsonpath import find_first
+
+    return find_first(path, obj)
 
 
 # ---------------------------------------------------------------------------
@@ -187,11 +187,20 @@ def plan_offset(
     page_size: int = DEFAULT_PAGE_SIZE,
     total_limit_param: str = "total",
     pagination_jsonpath: Optional[str] = None,
+    initial_offset: int = 1,
     **kw,
 ):
-    """P5 — offset+limit vs total (pagination.py:42-77)."""
+    """P5 — offset+limit vs total (pagination.py:42-77).
+
+    ``initial_offset`` mirrors ``RestAPIOffsetPaginator(start_value=
+    pagination_initial_offset)`` (streams.py:312-321): the offset token the
+    (i+1)-th request carries is ``initial_offset + (i+1) * page_size``
+    (BaseOffsetPaginator.get_next = current + page_size), annotated on each
+    planned page as ``next_token`` for build_scan_params.
+    """
     out = []
-    for page in pages:
+    for i, page in enumerate(pages):
+        page.next_token = initial_offset + (i + 1) * page_size
         out.append(page)
         node = (
             jsonpath_get(pagination_jsonpath, page.body)
@@ -207,9 +216,17 @@ def plan_offset(
     return out
 
 
-def plan_hateoas(pages, **kw):
-    """P6 — full next URL in body (streams.py:322-323; README.md:391-425)."""
+def plan_hateoas(pages, next_page_token_path: Optional[str] = None, **kw):
+    """P6 — full next URL in body (streams.py:322-323; README.md:391-425).
+
+    A configured ``next_page_token_path`` is evaluated with the full
+    jsonpath grammar (predicates + split, e.g. the README's own
+    ``$.link[?(@.relation=='next')].url``); the default walks the FHIR
+    ``link[].relation=='next'`` shape — the same selection.
+    """
     def token(p: WalPage):
+        if next_page_token_path:
+            return jsonpath_get(next_page_token_path, p.body)
         for link in p.body.get("link", []):
             if link.get("relation") == "next":
                 return link.get("url")
@@ -225,8 +242,16 @@ def plan_single_page(pages, **kw):
     return []
 
 
-def plan_page_number(pages, has_more_jsonpath: Optional[str] = None, **kw):
-    """P8 — continue while hasMore (pagination.py:17-39)."""
+def plan_page_number(
+    pages, has_more_jsonpath: Optional[str] = None, initial_offset: int = 1, **kw
+):
+    """P8 — continue while hasMore (pagination.py:17-39).
+
+    ``initial_offset`` mirrors ``RestAPIBasePageNumberPaginator(
+    start_value=pagination_initial_offset)`` (streams.py:327-330): page
+    tokens run initial+1, initial+2, ... (get_next = current + 1),
+    annotated as ``next_token``.
+    """
     def token(p: WalPage):
         more = (
             jsonpath_get(has_more_jsonpath, p.body)
@@ -235,15 +260,37 @@ def plan_page_number(pages, has_more_jsonpath: Optional[str] = None, **kw):
         )
         return True if more else None
 
-    return _token_chain(pages, token, kw.get("results_limit"))
+    out = _token_chain(pages, token, kw.get("results_limit"))
+    for i, page in enumerate(out):
+        page.next_token = initial_offset + i + 1
+    return out
 
 
-def plan_simple_offset(pages, page_size: int = DEFAULT_PAGE_SIZE, **kw):
-    """P9 — drain until a short page (pagination.py:80-112)."""
+def plan_simple_offset(
+    pages,
+    page_size: int = DEFAULT_PAGE_SIZE,
+    offset_records_jsonpath: Optional[str] = None,
+    **kw,
+):
+    """P9 — drain until a short page (pagination.py:80-112).
+
+    With ``offset_records_jsonpath`` configured, the record count is
+    ``len(first jsonpath match)`` in the response body — exactly
+    ``SimpleOffsetPaginator.has_more`` (pagination.py:104-112). No match
+    counts as 0 records (a short page -> stop; the reference would hit
+    ``len(0)`` -> TypeError on its ``next(..., 0)`` default — we stop
+    cleanly instead of crashing). Without it, the slice's own record count
+    is used.
+    """
     out = []
     for page in pages:
         out.append(page)
-        if page.n_records != page_size:
+        if offset_records_jsonpath:
+            recs = jsonpath_get(offset_records_jsonpath, page.body)
+            n = len(recs) if isinstance(recs, (list, dict, str)) else 0
+        else:
+            n = page.n_records
+        if n != page_size:
             break
     return out
 

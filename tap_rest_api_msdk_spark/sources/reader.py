@@ -64,6 +64,84 @@ def extract_records(
     return out
 
 
+def records_path_is_native(records_path: str) -> bool:
+    """True when the path fits the native ``from_json`` + ``explode`` plan
+    (dotted fields, optionally ``[*]``-terminated). Predicates, indexes,
+    wildcards mid-path, and the split extension need the jsonpath kernel."""
+    s = records_path.strip()
+    return bool(_ARRAY_PATH.match(s)) or bool(re.match(r"^\$?\.?[A-Za-z0-9_.]+$", s))
+
+
+def extract_records_jsonpath(
+    df: DataFrame,
+    payload_col: str,
+    records_path: str,
+    keep_cols: Optional[list] = None,
+    record_col: str = "record",
+) -> DataFrame:
+    """Full-grammar ``records_path`` extraction (filter predicates, indexes,
+    the split extension — README.md:379-385) via an Arrow-batched
+    ``mapInPandas`` kernel over plans/jsonpath.py.
+
+    One output row per jsonpath MATCH (``yield from extract_jsonpath``
+    parity, streams.py:576-586), the record serialized as a canonical JSON
+    string — downstream infers/parses with the same machinery as any other
+    payload column. The path is parsed DRIVER-side first, so unsupported
+    syntax fails at plan time, not per-executor.
+
+    This is the slow path by design: filter-jsonpath semantics can't reach
+    the native projection. At scale it stays Arrow-batched and
+    embarrassingly parallel; use the native :func:`extract_records` for
+    dotted/``[*]`` paths (see :func:`extract_records_auto`).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from tap_rest_api_msdk_spark.plans.jsonpath import find_all, parse
+
+    parse(records_path)  # validate up front (ValueError on bad syntax)
+    keep = keep_cols or [c for c in df.columns if c != payload_col]
+    in_df = df.select(*keep, payload_col)
+    out_fields = [f for f in in_df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(out_fields + [T.StructField(record_col, T.StringType(), True)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf.to_dict("records"):
+                payload = d.pop(payload_col)
+                try:
+                    obj = _json.loads(payload) if payload is not None else None
+                except ValueError:
+                    obj = None
+                if obj is None:
+                    continue
+                for match in find_all(records_path, obj):
+                    rows.append(
+                        {**d, record_col: _json.dumps(match, separators=(",", ":"), sort_keys=True)}
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return in_df.mapInPandas(kernel, out_schema)
+
+
+def extract_records_auto(
+    df: DataFrame,
+    payload_col: str,
+    records_path: str,
+    envelope_schema: Optional[T.StructType] = None,
+    keep_cols: Optional[list] = None,
+    record_col: str = "record",
+) -> DataFrame:
+    """Dispatch: native ``from_json``+``explode`` plan when the path allows
+    (JVM-side, zero Python), jsonpath kernel otherwise."""
+    if envelope_schema is not None and records_path_is_native(records_path):
+        return extract_records(df, payload_col, records_path, envelope_schema, keep_cols, record_col)
+    return extract_records_jsonpath(df, payload_col, records_path, keep_cols, record_col)
+
+
 def infer_payload_struct(
     df: DataFrame, payload_col: str, inference_records: int = 50
 ) -> T.StructType:
