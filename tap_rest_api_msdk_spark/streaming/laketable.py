@@ -81,13 +81,34 @@ def bucket_to_partition(bucket: int, num_partitions: int) -> int:
     return mm3_hash_int(bucket) % num_partitions
 
 
+def bucket_salt_to_partition(bucket: int, salt: int, num_partitions: int) -> int:
+    """HashPartitioning over TWO int columns (bucket, salt): Spark chains
+    murmur3 per column, each previous hash seeding the next — verified
+    against ``F.hash(b, s)`` + ``spark_partition_id`` in tests."""
+    return mm3_hash_int(salt, mm3_hash_int(bucket, 42)) % num_partitions
+
+
 class LakeTable:
     """A bucketed, manifest-committed Parquet lake table with MERGE-upsert."""
 
-    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 16,
+        files_per_bucket: Optional[int] = None,
+    ):
         self.spark = spark
         self.path = path
         self.num_buckets = num_buckets
+        # merge shuffle width is DECOUPLED from the bucket count: each
+        # bucket may be written as up to ``files_per_bucket`` files, split
+        # by a key-salt, so a 16-bucket table still merges with cores-scale
+        # parallelism (None = auto from defaultParallelism). Unlike
+        # num_buckets this is NOT a table property — it's a per-writer
+        # execution knob; the manifest records whatever files each commit
+        # produced.
+        self.files_per_bucket = files_per_bucket
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         # bucket count is a TABLE property: once committed, the manifest's
@@ -96,6 +117,15 @@ class LakeTable:
         m = self.current_manifest()
         if m and "num_buckets" in m:
             self.num_buckets = m["num_buckets"]
+
+    def _fpb(self, n_affected: int) -> int:
+        """Files (salt slices) per bucket for this commit: auto mode spreads
+        the merge across ~defaultParallelism tasks regardless of how few
+        buckets a batch touches; capped so tiny tables don't fragment."""
+        if self.files_per_bucket is not None:
+            return max(1, self.files_per_bucket)
+        cores = self.spark.sparkContext.defaultParallelism
+        return max(1, min(8, -(-cores // max(1, n_affected))))
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -349,18 +379,29 @@ class LakeTable:
             all_rows = batch
 
         # --- single-shuffle LWW merge (SURVEY §4.3 physical plan):
-        # one hash exchange on __bucket (co-locates every row of a key),
-        # then an in-partition sort (__bucket, keys..., order_by desc) and a
-        # first-row-per-key filter via lag(). No second exchange: the write
-        # consumes the bucket-clustered layout directly, and the sort doubles
-        # as the file order (contiguous __bucket runs -> row-group stats).
+        # one hash exchange on (__bucket, __salt) — the salt is a pure
+        # function of the merge keys, so every row of a key still
+        # co-locates — then an in-partition sort and a first-row-per-key
+        # filter via lag(). No second exchange: the window's required
+        # distribution is exactly the repartition columns, and the write
+        # consumes the clustered layout directly (sort doubles as file
+        # order -> contiguous __bucket runs -> row-group stats).
+        # The salt DECOUPLES shuffle width from num_buckets: a batch
+        # touching 16 buckets on a 512-core cluster still merges 16*S-wide
+        # (S files per bucket, recorded per-commit in the manifest).
         # Skew note: a pathologically hot KEY still lands in one partition;
         # operators/dedup.lww_dedup_salted pre-shrinks such batches first.
         from pyspark.sql import Window
 
-        k_parts = max(1, min(len(affected), self.num_buckets))
-        rep = all_rows.repartition(k_parts, "__bucket")
-        w = Window.partitionBy("__bucket").orderBy(
+        S = self._fpb(len(affected))
+        k_parts = max(1, len(affected) * S)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
+        ).cast("int")
+        rep = all_rows.withColumn("__salt", salt).repartition(
+            k_parts, "__bucket", "__salt"
+        )
+        w = Window.partitionBy("__bucket", "__salt").orderBy(
             *[F.col(k).asc() for k in keys],
             *[F.col(o).desc() for o in order_by],
         )
@@ -368,7 +409,11 @@ class LakeTable:
         for k in keys:
             lagged = F.lag(F.col(k)).over(w)
             key_changed = key_changed | lagged.isNull() | (lagged != F.col(k))
-        merged = rep.withColumn("__first", key_changed).filter(F.col("__first")).drop("__first")
+        merged = (
+            rep.withColumn("__first", key_changed)
+            .filter(F.col("__first"))
+            .drop("__first", "__salt")
+        )
 
         # --- write new files for affected buckets only (copy-on-write)
         epoch = (m["version"] + 1) if m else 0
@@ -384,8 +429,12 @@ class LakeTable:
         files = dict(m["files"]) if m else {}
         deltas = dict(m.get("deltas", {})) if m else {}
         for b in affected:
-            f = by_index.get(bucket_to_partition(b, k_parts))
-            files[str(b)] = [f] if f else []
+            fset = {
+                by_index[p]
+                for s in range(S)
+                if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
+            }
+            files[str(b)] = sorted(fset)
             deltas.pop(str(b), None)  # folded into the new base
 
         bookmarks = dict(m.get("bookmarks", {})) if m else {}
@@ -427,10 +476,20 @@ class LakeTable:
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 
         winners = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
-        k_parts = max(1, min(len(affected), self.num_buckets))
+        S = self._fpb(len(affected))
+        k_parts = max(1, len(affected) * S)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
+        ).cast("int")
         epoch = (m["version"] + 1) if m else 0
         out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
-        winners.repartition(k_parts, "__bucket").write.mode("overwrite").parquet(out_dir)
+        (
+            winners.withColumn("__salt", salt)
+            .repartition(k_parts, "__bucket", "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
 
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):
@@ -439,8 +498,12 @@ class LakeTable:
 
         deltas = dict(m.get("deltas", {})) if m else {}
         for b in affected:
-            f = by_index.get(bucket_to_partition(b, k_parts))
-            if f:
+            fset = {
+                by_index[p]
+                for s in range(S)
+                if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
+            }
+            for f in sorted(fset):
                 deltas.setdefault(str(b), [])
                 if f not in deltas[str(b)]:
                     deltas[str(b)] = deltas[str(b)] + [f]
@@ -495,14 +558,30 @@ class LakeTable:
             )
         epoch = m["version"] + 1
         out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
-        k_parts = self.num_buckets
-        df.repartition(k_parts, "__bucket").write.mode("overwrite").parquet(out_dir)
+        S = self._fpb(self.num_buckets)
+        k_parts = max(1, self.num_buckets * S)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
+        ).cast("int")
+        (
+            df.withColumn("__salt", salt)
+            .repartition(k_parts, "__bucket", "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
         files = {
-            str(b): ([by_index[p]] if (p := bucket_to_partition(b, k_parts)) in by_index else [])
+            str(b): sorted(
+                {
+                    by_index[p]
+                    for s in range(S)
+                    if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
+                }
+            )
             for b in range(self.num_buckets)
         }
         manifest = {

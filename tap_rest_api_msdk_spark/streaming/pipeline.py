@@ -50,6 +50,9 @@ class PipelineConfig:
     ts_col: Optional[str] = "ts"
     result_limit: Optional[int] = None
     num_buckets: int = 16
+    # merge shuffle width = num_affected_buckets * files_per_bucket (None =
+    # auto from cores): decouples write parallelism from the bucket layout
+    files_per_bucket: Optional[int] = None
     # payload schema drift handling (FX6): "fixed" trusts the discovered
     # schema for the stream's lifetime (fastest; late-appearing fields are
     # dropped); "sample" re-samples N+1 payloads per batch and additively
@@ -236,7 +239,10 @@ def run_batch_replay(
     ``slices`` — optional list of (start_seq, end_seq] ranges from the
     offset planner (plans/planner.py); default = one batch for the lot.
     """
-    table = LakeTable(spark, table_path, num_buckets=conf.num_buckets)
+    table = LakeTable(
+        spark, table_path, num_buckets=conf.num_buckets,
+        files_per_bucket=conf.files_per_bucket,
+    )
     rk = conf.replication_key
     if slices is None:
         process_batch(table, conf, wal_df, start_batch_id)
@@ -267,7 +273,10 @@ def run_streaming(
     ``start()`` so several availableNow drains can run CONCURRENTLY (the
     caller awaits each query; orchestrate.start_all does exactly this).
     """
-    table = LakeTable(spark, table_path, num_buckets=conf.num_buckets)
+    table = LakeTable(
+        spark, table_path, num_buckets=conf.num_buckets,
+        files_per_bucket=conf.files_per_bucket,
+    )
     reader = spark.readStream.schema(wal_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
