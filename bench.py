@@ -124,12 +124,31 @@ def main() -> None:
             run_cdc_replay(spark, wal_path, os.path.join(base, f"t_hi{i}"), payload_schema)
             for i in range(2)
         )
+
+        # pre-shredded columnar WAL (payload = native struct, no JSON
+        # parse): same replay, same oracle invariant. The extraction stage
+        # alone is ~5x faster (see BENCH/BASELINE.md); end-to-end gain is
+        # bounded by the merge write, which both paths share.
+        wal_shred_path = os.path.join(base, "wal_shredded")
+        synth_repo_wal(
+            spark, WAL_EVENTS, n_repos=2000, n_paths=5000,
+            partitions=max(2 * CPUS, 16), shredded=True,
+        ).write.mode("overwrite").parquet(wal_shred_path)
+        shred_schema = spark.read.parquet(wal_shred_path).schema["payload"].dataType
+        t_shred = min(
+            run_cdc_replay(
+                spark, wal_shred_path, os.path.join(base, f"t_sh{i}"), shred_schema
+            )
+            for i in range(2)
+        )
         spark.stop()
 
         cdc = {
             "events": WAL_EVENTS,
             f"seconds_local{CPUS}": round(t_hi, 3),
             f"events_per_sec_local{CPUS}": round(WAL_EVENTS / t_hi),
+            f"seconds_local{CPUS}_shredded": round(t_shred, 3),
+            f"events_per_sec_local{CPUS}_shredded": round(WAL_EVENTS / t_shred),
         }
         if RUN_SCALING:
             # full-size WAL (amortizes per-run constants into the parallel

@@ -184,14 +184,22 @@ def flatten_dataframe(
     keep_cols: Optional[list[str]] = None,
     store_raw_json_message: bool = False,
 ) -> DataFrame:
-    """Flatten a JSON-string column with a KNOWN schema, fully natively.
+    """Flatten a JSON-string OR pre-shredded struct column, fully natively.
 
-    ``from_json`` -> struct -> generated projection. Catalyst prunes unused
-    nested fields from the JSON parse, and the whole stage stays in codegen.
+    JSON string: ``from_json`` -> struct -> generated projection (Catalyst
+    prunes unused nested fields from the parse). Struct (the shredded
+    columnar WAL format): the projection reads the struct directly — no
+    parse at all, and parquet only materializes the referenced subfields.
+    Either way the whole stage stays in codegen.
     """
     keep = [F.col(c) for c in (keep_cols or [c for c in df.columns if c != payload_col])]
-    parsed = df.withColumn("__rec", F.from_json(F.col(payload_col), payload_schema))
+    is_struct = isinstance(df.schema[payload_col].dataType, T.StructType)
+    if is_struct:
+        parsed = df.withColumn("__rec", F.col(payload_col))
+    else:
+        parsed = df.withColumn("__rec", F.from_json(F.col(payload_col), payload_schema))
     flat = flatten_columns(payload_schema, except_keys, col_prefix="__rec")
     if store_raw_json_message:
-        flat = flat + [F.col(payload_col).alias("_sdc_raw_json")]
+        raw = F.to_json(F.col(payload_col)) if is_struct else F.col(payload_col)
+        flat = flat + [raw.alias("_sdc_raw_json")]
     return parsed.select(*keep, *flat)

@@ -40,6 +40,7 @@ def synth_repo_wal(
     seed: int = 42,
     evolve_at: int | None = None,
     partitions: int | None = None,
+    shredded: bool = False,
 ) -> DataFrame:
     """Deterministic CDC event log; columns are pure functions of ``id``.
 
@@ -48,6 +49,13 @@ def synth_repo_wal(
     ``evolve_at``: events with seq >= evolve_at carry an extra payload field
     ``stars`` and a widened double ``size`` (FX6 schema-evolution fixture);
     ``to_json`` drops null fields, so earlier events simply lack them.
+
+    ``shredded=True`` emits the payload as a NATIVE STRUCT column instead
+    of a JSON string — the pre-shredded columnar WAL format (a Debezium->
+    parquet landing zone that shreds at ingest). Replay over it skips the
+    JSON parse entirely (the r1-measured CPU bound), reads only the payload
+    fields a query projects (columnar pruning inside the struct), and
+    needs no schema inference — the parquet schema IS the payload schema.
     """
     df = spark.range(0, n_events, numPartitions=partitions or max(4, n_events // 250_000))
     sid = F.lit(int(seed))
@@ -98,6 +106,11 @@ def synth_repo_wal(
             .alias("stars")
         )
 
+    payload_struct = F.struct(
+        F.col("content").alias("content"),
+        F.struct(*meta_base, size_col, stars_col).alias("metadata"),
+        F.array(F.col("lang"), F.lit("synthetic")).alias("tags"),
+    )
     out = (
         df.withColumn("repo", repo)
         .withColumn("path", path)
@@ -113,13 +126,7 @@ def synth_repo_wal(
             F.col("commit"),
             F.col("lang"),
             F.col("op"),
-            F.to_json(
-                F.struct(
-                    F.col("content").alias("content"),
-                    F.struct(*meta_base, size_col, stars_col).alias("metadata"),
-                    F.array(F.col("lang"), F.lit("synthetic")).alias("tags"),
-                )
-            ).alias("payload"),
+            (payload_struct if shredded else F.to_json(payload_struct)).alias("payload"),
         )
     )
     return out

@@ -122,7 +122,26 @@ def process_batch(
     # newly-observed payload fields additively per conf.schema_evolution
     # (the tap flattens drifting records dynamically, streams.py:588-603;
     # the lake sink then evolves the flat schema, SURVEY §4.2).
-    if conf.payload_col:
+    payload_is_struct = bool(
+        conf.payload_col
+        and conf.payload_col in raw.columns
+        and isinstance(raw.schema[conf.payload_col].dataType, T.StructType)
+    )
+    if payload_is_struct:
+        # pre-shredded columnar WAL: the parquet schema IS the payload
+        # schema — no inference pass, no JSON parse, no malformed handling
+        # (shredding already happened at ingest). Drift arrives as parquet
+        # schema evolution and merges additively like any other batch.
+        from tap_rest_api_msdk_spark.functions.infer import merge_struct_types
+
+        observed = raw.schema[conf.payload_col].dataType
+        conf.payload_schema = (
+            observed
+            if conf.payload_schema is None
+            else merge_struct_types(conf.payload_schema, observed)
+        )
+        conf._schema_discovered = True
+    elif conf.payload_col:
         from tap_rest_api_msdk_spark.functions.infer import merge_struct_types
         from tap_rest_api_msdk_spark.sources.reader import infer_payload_struct
 
@@ -191,7 +210,13 @@ def process_batch(
         "__p",
         conf.replication_key,
         ts_col=conf.ts_col if conf.ts_col in metrics_src.columns else None,
-        bytes_col=conf.payload_col if conf.payload_col in metrics_src.columns else None,
+        # byte accounting only applies to string payloads; a shredded
+        # struct has no single serialized length
+        bytes_col=(
+            conf.payload_col
+            if conf.payload_col in metrics_src.columns and not payload_is_struct
+            else None
+        ),
     )
     mrows = metrics_df.collect()
     if not mrows:
