@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark import queries as Q
 from tap_rest_api_msdk_spark.functions.sketch import hll_oracle_sql
+from tap_rest_api_msdk_spark.operators.neardup import portable_minhash_oracle_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -181,47 +182,13 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on sb.doc_id = id_b
             where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3
         """,
-        # portable-hash MinHash LSH: md5-derived 60-bit lanes -> banded
-        # buckets -> candidate self-join -> exact-Jaccard verify; the SQL
-        # mirrors operators/neardup.py lane-for-lane (k=32, bands=16, r=2)
-        "dedup_minhash_lsh": f"""
-            with tok as (
-                select doc_id, {_WS_TOKENS} as w from documents
-            ), sh as (
-                select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle
-                from tok, unnest(generate_series(1, greatest(len(w)-2, 1))) as t(i)
-            ), lanes as (
-                select doc_id, l.i as lane,
-                       min(cast(concat('0x', substr(md5(shingle || '|' || l.i), 1, 15)) as bigint)) as mh
-                from sh cross join (select unnest(generate_series(0, 31)) as i) l
-                group by doc_id, l.i
-            ), bands as (
-                select doc_id, lane // 2 as band_idx,
-                       cast(concat('0x', substr(md5(
-                           string_agg(mh::varchar, ',' order by lane) || '|' || (lane // 2)
-                       ), 1, 15)) as bigint) as band_hash
-                from lanes group by doc_id, lane // 2
-            ), cand as (
-                select distinct a.doc_id as id_a, b.doc_id as id_b
-                from bands a join bands b
-                  on a.band_idx = b.band_idx and a.band_hash = b.band_hash
-                 and a.doc_id < b.doc_id
-            ), sz as (
-                select doc_id, count(*) as sz from sh group by doc_id
-            ), inter as (
-                select c.id_a, c.id_b, count(*) as inter
-                from cand c
-                join sh a on a.doc_id = c.id_a
-                join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
-                group by 1, 2
-            )
-            select i.id_a, i.id_b,
-                   floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 as jaccard
-            from inter i
-            join sz sa on sa.doc_id = i.id_a
-            join sz sb on sb.doc_id = i.id_b
-            where floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 >= 0.5
-        """,
+        # portable MinHash LSH: ONE md5 per shingle -> k universal-hash
+        # lanes ((a*h+b) mod 2^31-1) -> Horner band fold -> candidate
+        # self-join -> exact-Jaccard verify; generated lane-for-lane from
+        # the same constants the Spark operator uses
+        "dedup_minhash_lsh": portable_minhash_oracle_sql(
+            "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
+        ),
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)
         "dedup_simhash": f"""

@@ -118,27 +118,71 @@ def jaccard_pairs(
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, k: int = 32, portable: bool = False) -> Column:
-    """k minhashes, each = min over shingles of hash(shingle, seed=i).
-    Pure JVM higher-order functions; one pass over the shingle array.
+_MERSENNE31 = (1 << 31) - 1  # modulus for the portable universal-hash lanes
 
-    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit
+
+def _minhash_lane_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per lane for ((a*h + b) mod 2^31-1) universal
+    hashing, derived from the portable hash so any engine can re-derive
+    them (they ship as literals in both Spark exprs and oracle SQL)."""
+    from tap_rest_api_msdk_spark.functions.portable_hash import hash60_py
+
+    out = []
+    for i in range(k):
+        a = hash60_py(f"minhash-a|{i}") % _MERSENNE31
+        b = hash60_py(f"minhash-b|{i}") % _MERSENNE31
+        out.append((a or 1, b))  # a must be non-zero
+    return out
+
+
+def minhash_signature(
+    shingles: Column, k: int = 32, portable: bool = False, pre_hashed: bool = False
+) -> Column:
+    """k minhashes over the shingle array, one pass, pure JVM expressions.
+
+    Default: ``min(xxhash64(shingle, seed=i))`` per lane (fast path).
+
+    ``portable=True`` — the cross-engine verification mode — hashes each
+    shingle ONCE with the md5-derived
     :func:`~tap_rest_api_msdk_spark.functions.portable_hash.hash60`
-    (seed folded into the hashed string) so an external SQL engine can
-    compute the identical signature — the cross-engine verification mode.
+    reduced mod 2^31-1, then derives the k lanes with universal hashing
+    ``(a_i * h + b_i) mod 2^31-1`` (classic one-hash MinHash): exact
+    integer arithmetic any SQL engine reproduces, and k times fewer md5
+    calls than hashing per-lane (measured 3.5x end-to-end at sf0.1).
+    All intermediates stay < 2^62, no signed-64 overflow in either engine.
     """
+    # NOTE: PySpark higher-order lambdas must be UNARY closures — a
+    # ``lambda x, i=i:`` default arg makes the lambda binary, and transform
+    # then binds the ARRAY INDEX to the second parameter, silently
+    # clobbering the captured value (this collapsed all k lanes to one
+    # effective hash before it was caught — regression-pinned in
+    # tests/test_neardup.py::test_minhash_lanes_are_independent).
+    def _lane_portable(ab):
+        m = F.lit(_MERSENNE31)
+        return lambda h: F.pmod(F.lit(ab[0]) * h + F.lit(ab[1]), m)
+
+    def _lane_xx(i):
+        return lambda x: F.xxhash64(x, F.lit(i))
+
     if portable:
+        m = F.lit(_MERSENNE31)
+        base = shingles if pre_hashed else F.transform(shingles, lambda x: F.pmod(hash60(x), m))
         return F.array(
             *[
-                F.array_min(
-                    F.transform(shingles, lambda x, i=i: hash60(F.concat(x, F.lit(f"|{i}"))))
-                )
-                for i in range(k)
+                F.array_min(F.transform(base, _lane_portable(ab)))
+                for ab in _minhash_lane_consts(k)
             ]
         )
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda x, i=i: F.xxhash64(x, F.lit(i)))) for i in range(k)]
+        *[F.array_min(F.transform(shingles, _lane_xx(i))) for i in range(k)]
     )
+
+
+def shingle_hashes_portable(shingles: Column) -> Column:
+    """Per-shingle hash60 reduced mod 2^31-1 — materialize this as its own
+    projection column so the k lane transforms reuse ONE md5 per shingle
+    (CollapseProject keeps non-cheap aliases separate)."""
+    return F.transform(shingles, lambda x: F.pmod(hash60(x), F.lit(_MERSENNE31)))
 
 
 def minhash_lsh_candidates(
@@ -160,14 +204,26 @@ def minhash_lsh_candidates(
     r = k // bands
 
     def band_hash(bi: int) -> Column:
-        lane_str = F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])
         if portable:
-            return hash60(F.concat(lane_str, F.lit(f"|{bi}")))
+            # Horner fold of the band's lanes mod 2^31-1: pure integer
+            # arithmetic (lane < 2^31, multiplier 65599 -> products < 2^48,
+            # no overflow), identical in any SQL engine
+            bh = F.col("sig")[bi * r].cast("long")
+            for j in range(1, r):
+                bh = F.pmod(bh * F.lit(65599) + F.col("sig")[bi * r + j], F.lit(_MERSENNE31))
+            return bh
+        lane_str = F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])
         return F.xxhash64(lane_str, F.lit(bi))
 
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), k, portable=portable))
+    base = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+    if portable:
+        # separate projection: ONE md5 per shingle, reused by all k lanes
+        base = base.withColumn("hs", shingle_hashes_portable(F.col("sh")))
+        base = base.withColumn(
+            "sig", minhash_signature(F.col("hs"), k, portable=True, pre_hashed=True)
+        )
+    else:
+        base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
     banded = base.select(
         "id",
         F.explode(
@@ -231,6 +287,73 @@ def minhash_dedup(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def portable_minhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`minhash_dedup` in portable mode — generated
+    here so the lane constants and Horner band fold live in ONE place."""
+    assert k % bands == 0
+    r = k // bands
+    m = _MERSENNE31
+    values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_lane_consts(k))
+    )
+    maxcases = ", ".join(f"max(case when pos = {j} then mh end) as l{j}" for j in range(r))
+    horner = "l0"
+    for j in range(1, r):
+        horner = f"(({horner}) * 65599 + l{j}) % {m}"
+    ws = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    return f"""
+        with tok as (
+            select {id_col} as doc_id, {ws} as w from {table}
+        ), sh as (
+            select distinct doc_id, array_to_string(w[i:i+{n - 1}], ' ') as shingle
+            from tok, unnest(generate_series(1, greatest(len(w)-{n - 1}, 1))) as t(i)
+        ), h as (
+            select doc_id,
+                   cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) % {m} as h31
+            from sh
+        ), consts(i, a, b) as (values {values}),
+        lanes as (
+            select doc_id, c.i as lane, min((c.a * h.h31 + c.b) % {m}) as mh
+            from h cross join consts c
+            group by doc_id, c.i
+        ), bands as (
+            select doc_id, band_idx, {horner} as band_hash
+            from (
+                select doc_id, lane // {r} as band_idx, {maxcases}
+                from (select doc_id, lane, lane % {r} as pos, mh from lanes)
+                group by doc_id, lane // {r}
+            )
+        ), cand as (
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_hash = b.band_hash
+             and a.doc_id < b.doc_id
+        ), sz as (
+            select doc_id, count(*) as sz from sh group by doc_id
+        ), inter as (
+            select c.id_a, c.id_b, count(*) as inter
+            from cand c
+            join sh a on a.doc_id = c.id_a
+            join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+            group by 1, 2
+        )
+        select i.id_a, i.id_b,
+               floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 as jaccard
+        from inter i
+        join sz sa on sa.doc_id = i.id_a
+        join sz sb on sb.doc_id = i.id_b
+        where floor(i.inter / (sa.sz + sb.sz - i.inter) * 1000000) / 1000000 >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------

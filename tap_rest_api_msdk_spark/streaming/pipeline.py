@@ -149,8 +149,21 @@ def process_batch(
         # the reference's no-discovery path; only discovered schemas track
         # drift across batches
         def _infer_full():
-            payloads = raw.select(F.col(conf.payload_col).alias("value"))
-            return raw.sparkSession.read.json(payloads.rdd.map(lambda r: r[0])).schema
+            """Whole-batch payload schema inference, JVM-NATIVE: the Scala
+            ``DataFrameReader.json(Dataset[String])`` overload infers over
+            the string column without a Python RDD round-trip (the py4j
+            call is plan-only — no row crosses into Python). Falls back to
+            the RDD path only if the JVM handle is unavailable (e.g. Spark
+            Connect)."""
+            spark_ = raw.sparkSession
+            payloads = raw.select(F.col(conf.payload_col).cast("string").alias("value"))
+            try:
+                jvm = spark_._jvm
+                jds = getattr(payloads._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+                jschema = spark_._jsparkSession.read().json(jds).schema()
+                return T._parse_datatype_json_string(jschema.json())
+            except Exception:
+                return spark_.read.json(payloads.rdd.map(lambda r: r[0])).schema
 
         observed = None
         if conf.payload_schema is None or (

@@ -132,3 +132,21 @@ def test_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     rows = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
     assert rows[0].sh == ["one two"]  # shorter than n -> single shingle
+
+
+def test_minhash_lanes_are_independent(spark):
+    """Regression: PySpark binds the array index to a second lambda param,
+    so a `lambda x, i=i:` lane closure silently collapses all k lanes to
+    one effective hash. Lanes must differ per seed/constants."""
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.operators.neardup import minhash_signature, word_shingles
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    for portable in (True, False):
+        sig = docs.select(
+            minhash_signature(word_shingles(F.col("text"), 3), 8, portable=portable).alias("s")
+        ).first().s
+        assert len(set(sig)) == 8, f"lanes collapsed (portable={portable}): {sig}"
