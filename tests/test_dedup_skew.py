@@ -67,3 +67,37 @@ def test_compaction_purges_tombstones_and_merges_files(spark, tmp_path):
         mk([(1000, "r1", "p", "cz", "upsert", "new")]), ["repo", "path"], ["seq", "commit"], 99, op_col="op"
     )
     assert {r.repo: r.content for r in t.to_df().collect()}["r1"] == "new"
+
+
+def test_jaccard_skew_guard_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by EVERY doc is a quadratic hot key in
+    the inverted-index self-join; max_shingle_freq must drop it while
+    leaving genuine near-dup pairs intact."""
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.operators.neardup import jaccard_pairs, word_shingles
+
+    boiler = "this file is part of the generated corpus do not edit"
+    rows = [(i, f"{boiler} unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+            for i in range(200)]
+    # plant one true near-dup pair sharing everything
+    rows.append((1000, rows[0][1] + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # without the guard: the boilerplate shingles join every doc to every
+    # other doc -> candidate explosion (inter pairs ~ n^2)
+    sh = docs.select(F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    hot_df = sh.groupBy("s").count().agg(F.max("count")).first()[0]
+    assert hot_df == 201  # the planted shingle hits every doc
+
+    guarded = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                            max_shingle_freq=100)
+    pairs = guarded.collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1000)}
+
+    # and the guard bounds the candidate volume: with it, the inverted
+    # index joins only on shingles with df <= 100
+    unguarded_cands = (
+        sh.alias("a").join(sh.alias("b"), "s").count()
+    )
+    assert unguarded_cands > 200 * 200  # quadratic without the guard
