@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark import queries as Q
 from tap_rest_api_msdk_spark.functions.sketch import hll_oracle_sql
+from tap_rest_api_msdk_spark.functions.similarity import ivf_topk_oracle_sql
 from tap_rest_api_msdk_spark.operators.neardup import portable_minhash_oracle_sql
 
 
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_pairs_exact": Q.q_embedding_pairs_exact,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
         # skew-handling variant (same oracle as plain LWW)
         "lww_latest_state_salted": Q.q_lww_latest_state_salted,
         # streaming-shaped windows
@@ -91,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich_broadcast": Q.q_join_enrich_broadcast,
         "local_supply_revenue": Q.q_local_supply_revenue,
         "customers_without_orders": Q.q_customers_without_orders,
+        "order_priority_counts": Q.q_order_priority_counts,
+        "customer_distribution": Q.q_customer_distribution,
+        "promo_revenue": Q.q_promo_revenue,
     }
 
 
@@ -337,6 +342,12 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, floor(cos * 10000) / 10000 as cos, "rank"
             from ranked where "rank" <= 10
         """,
+        # IVF ANN: hash-ranked deterministic centroids, exact-integer
+        # quantized assignment (floor(x*1e6); d2 via |a|^2+|b|^2-2ab, every
+        # term an exact integer < 2^53), multi-probe, cosine re-rank
+        "ann_ivf_topk": ivf_topk_oracle_sql(
+            "embeddings", k=10, n_centroids=16, n_probe=6, query_pred="vec_id < 10"
+        ),
         "lww_latest_state_salted": """
             with ranked as (
                 select *, row_number() over (
@@ -507,6 +518,39 @@ def oracle_sql() -> dict[str, str]:
             where not exists (
                 select 1 from orders where o_custkey = c_custkey
             )
+        """,
+        "order_priority_counts": """
+            select o_orderpriority, count(*) as n_orders
+            from orders
+            where o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate <  timestamp '1997-01-01'
+              and exists (
+                  select 1 from lineitem
+                  where l_orderkey = o_orderkey and l_discount > 0.05
+              )
+            group by o_orderpriority
+        """,
+        "customer_distribution": """
+            with per_cust as (
+                select c_custkey, count(o_orderkey) as c_count
+                from customer
+                left outer join orders
+                  on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+                group by c_custkey
+            )
+            select c_count, count(*) as n_customers
+            from per_cust group by c_count
+        """,
+        "promo_revenue": """
+            select
+                cast(sum(case when p_type = 'PROMO'
+                              then cast(l_extendedprice * (1 - l_discount) as decimal(28,6))
+                              else cast(0 as decimal(28,6)) end) as double) as promo_revenue,
+                cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double) as total_revenue,
+                count(*) as n_items
+            from lineitem join part on l_partkey = p_partkey
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate <  timestamp '1996-07-01'
         """,
         "join_enrich_broadcast": """
             select r_name as region, n_name as nation,

@@ -173,9 +173,17 @@ def resolve_streams(config: dict) -> list[StreamConfig]:
         for key, default in _TOP_LEVEL_ONLY.items():
             val = config.get(key, default)
             kwargs[key] = default if val is None and default is not None else val
-        # dict-merge with the stream winning (tap.py:462-463)
+        # dict-merge with the stream winning (tap.py:462-463); user_agent
+        # becomes the User-Agent header FIRST so explicit headers can
+        # override it (streams.py:227-236 ordering)
         kwargs["params"] = {**config.get("params", {}), **stream.get("params", {})}
-        kwargs["headers"] = {**config.get("headers", {}), **stream.get("headers", {})}
+        ua = stream.get("user_agent", config.get("user_agent"))
+        base_headers = {"User-Agent": ua} if ua is not None else {}
+        kwargs["headers"] = {
+            **base_headers,
+            **config.get("headers", {}),
+            **stream.get("headers", {}),
+        }
         # auth: stream config overrides tap config (the reference's
         # my_config = stream._config or tap.config precedence, auth.py:219-223);
         # validated HERE so a bad auth config fails at resolve time

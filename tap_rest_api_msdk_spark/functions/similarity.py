@@ -238,6 +238,148 @@ def lsh_bucketed_topk_portable(
     )
 
 
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer + multi-probe + re-rank.
+
+    The second scale path next to hyperplane LSH. Centroids are a
+    deterministic hash-ranked sample of the corpus (the ``n_centroids``
+    vectors with smallest hash60(id) — no RNG, no iterative k-means, so an
+    external SQL engine reproduces the index exactly); every vector is
+    assigned to its nearest centroid by EXACT integer-quantized L2
+    (floor(x*1e6) components: squared distances stay < 2^53, IEEE-exact);
+    a query probes its ``n_probe`` nearest lists; candidates re-rank by
+    exact cosine. At 10^10 vectors: assignment is a broadcast of C
+    centroids + one corpus pass, candidates shuffle keyed by centroid id —
+    list sizes ~ n/C, never all-pairs; C grows as ~sqrt(n).
+    """
+    from tap_rest_api_msdk_spark.functions.portable_hash import hash60
+
+    # --- deterministic coarse quantizer (driver-side: C vectors, bounded)
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid_src"),
+            F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0))).alias("cq"),
+            hash60(F.col(id_col).cast("string")).alias("hr"),
+        )
+        .orderBy("hr", "cid_src")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_vecs = [list(r["cq"]) for r in cents]  # cid = list index (hr order)
+
+    def dist2(qcol: Column, cvec: list) -> Column:
+        return F.aggregate(
+            F.zip_with(qcol, F.lit(cvec).cast("array<double>"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def with_assignments(df: DataFrame, out_id: str, n_lists: int) -> DataFrame:
+        q6 = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+        scored = F.array(
+            *[
+                F.struct(dist2(q6, cv).alias("d"), F.lit(ci).alias("cid"))
+                for ci, cv in enumerate(cent_vecs)
+            ]
+        )
+        # array_sort on struct = lexicographic (d, cid): exact-integer
+        # doubles give cross-engine-identical order; take n_lists probes
+        probes = F.slice(F.array_sort(scored), 1, n_lists)
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(probes).alias("p")
+        ).select(out_id, F.col("p.cid").alias("cid"))
+
+    c_assign = with_assignments(corpus, "neighbor_id", 1)
+    q_probe = with_assignments(queries, "query_id", n_probe)
+    cands = (
+        c_assign.join(q_probe, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = cands.join(qvec, "query_id").join(cvec, "neighbor_id").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk_portable` (same quantizer, same
+    exact-integer distances: d2 = |a|^2 + |b|^2 - 2ab on floor(x*1e6)
+    components — algebraically equal to the Spark zip_with diff form and
+    bit-identical because every term is an exact integer < 2^53)."""
+    return f"""
+        with e as (
+            select vec_id, cast(embedding as double[]) as v,
+                   list_transform(embedding, x -> floor(x::double * 1000000.0)) as q6,
+                   cast(concat('0x', substr(md5(vec_id::varchar), 1, 15)) as bigint) as hr
+            from {table}
+        ), cents as (
+            select row_number() over (order by hr, vec_id) - 1 as cid, q6 as cq
+            from e order by hr, vec_id limit {n_centroids}
+        ), dists as (
+            select e.vec_id, c.cid,
+                   list_dot_product(e.q6, e.q6) + list_dot_product(c.cq, c.cq)
+                   - 2 * list_dot_product(e.q6, c.cq) as d
+            from e cross join cents c
+        ), ranked_assign as (
+            select vec_id, cid,
+                   row_number() over (partition by vec_id order by d, cid) as rn
+            from dists
+        ), c_assign as (
+            select vec_id as neighbor_id, cid from ranked_assign where rn = 1
+        ), q_probe as (
+            select vec_id as query_id, cid from ranked_assign
+            where rn <= {n_probe} and {query_pred}
+        ), cand as (
+            select distinct q.query_id, c.neighbor_id
+            from q_probe q join c_assign c using (cid)
+            where c.neighbor_id <> q.query_id
+        ), scored as (
+            select cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(eq.v, ec.v) as cos
+            from cand
+            join e eq on eq.vec_id = cand.query_id
+            join e ec on ec.vec_id = cand.neighbor_id
+        ), ranked as (
+            select query_id, neighbor_id, cos,
+                   row_number() over (
+                       partition by query_id order by cos desc, neighbor_id asc
+                   ) as "rank"
+            from scored
+        )
+        select query_id, neighbor_id, floor(cos * 10000) / 10000 as cos, "rank"
+        from ranked where "rank" <= {k}
+    """
+
+
 def embedding_neardups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -243,6 +243,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic hash-sampled coarse quantizer, exact
+    integer-quantized assignment, multi-probe + cosine re-rank — the
+    second scale path next to hyperplane LSH, fully DuckDB-oracled."""
+    from tap_rest_api_msdk_spark.functions.similarity import ivf_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk_portable(emb, queries, k=10, n_centroids=16, n_probe=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(F.col("cos") * 10000) / 10000).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (the MERGE machinery's building blocks)
 # ---------------------------------------------------------------------------
@@ -455,6 +472,53 @@ def q_local_supply_revenue(spark, sf_dir):
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+def q_order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS (left-semi join) + grouped counts — the
+    decorrelated-subquery path Catalyst plans as a semi-join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (orders per
+    customer, then customers per order count — zero-order customers kept)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    dec = lambda c: c.cast("decimal(28,6)")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(28,6)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
     )
 
 

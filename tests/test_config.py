@@ -70,3 +70,21 @@ def test_schema_file_vs_inline():
     assert f.schema_file == "/tmp/schema.json" and f.schema is None
     assert o.schema == {"properties": {"x": {"type": "string"}}}
     assert i.schema is None and i.schema_file is None
+
+
+def test_user_agent_becomes_header_with_override():
+    """A6: user_agent -> User-Agent header, set BEFORE the headers merge so
+    explicit headers win (streams.py:227-236 ordering)."""
+    from tap_rest_api_msdk_spark.config import resolve_streams
+
+    cfg = {
+        "user_agent": "acme-tap/1.0",
+        "headers": {"X-Top": "1"},
+        "streams": [
+            {"name": "a"},
+            {"name": "b", "headers": {"User-Agent": "override/2.0"}},
+        ],
+    }
+    a, b = resolve_streams(cfg)
+    assert a.headers == {"User-Agent": "acme-tap/1.0", "X-Top": "1"}
+    assert b.headers["User-Agent"] == "override/2.0"
