@@ -42,17 +42,24 @@ BENCH_QUERIES = [
     "bookmark_state",
     "lineage_metrics",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
     "text_langid",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "multimodal_image_features",
     "tumbling_window_counts",
     "session_windows",
     "rollup_revenue",
     "pricing_summary",
     "top_revenue_orders",
     "join_enrich_broadcast",
+    "customer_distribution",
+    "promo_revenue",
 ]
 
 

@@ -80,3 +80,44 @@ def test_chaos_replay_reconverges(spark, wal, tmp_path, seed):
     }
     assert got == want
     assert table.bookmarks()["chaos"] == N - 1
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_chaos_replay_shredded_wal(spark, tmp_path, seed):
+    """Same chaos protocol over the PRE-SHREDDED WAL (struct payload, no
+    JSON parse anywhere): must reconverge to the same DuckDB oracle."""
+    d = str(tmp_path / "wal")
+    synth_repo_wal(
+        spark, N, n_repos=6, n_paths=25, skew=4.0, delete_mod=20, shredded=True
+    ).write.parquet(d)
+    wal_df = spark.read.parquet(d)
+    want = oracle(d)
+    rng = random.Random(seed)
+
+    cuts = sorted(rng.sample(range(1, N), rng.randint(2, 6)))
+    bounds = [-1] + cuts + [N]
+    slices = list(zip(bounds[:-1], bounds[1:]))
+
+    path = str(tmp_path / "t")
+    table = LakeTable(spark, path, num_buckets=8)
+    for i, (s, e) in enumerate(slices):
+        conf = PipelineConfig(
+            stream="chaos", payload_col="payload", num_buckets=8,
+            sink_mode=rng.choice(["cow", "mor"]),
+        )
+        batch = wal_df.filter((F.col("seq") > s) & (F.col("seq") <= e))
+        process_batch(table, conf, batch, i)
+        if rng.random() < 0.5:
+            process_batch(table, conf, batch, i)
+        if rng.random() < 0.4:
+            table = LakeTable(spark, path, num_buckets=8)
+        if rng.random() < 0.3:
+            table.compact()
+            table.vacuum()
+
+    got = {
+        (r.repo, r.path): (r.seq, r.commit)
+        for r in table.to_df().select("repo", "path", "seq", "commit").collect()
+    }
+    assert got == want
+    assert table.bookmarks()["chaos"] == N - 1
