@@ -117,3 +117,25 @@ def test_wholestage_codegen_covers_flatten(spark):
     plan = plan_of(flat)
     # "*(n)" marks WholeStageCodegen stages in the physical plan string
     assert "*(" in plan or "WholeStageCodegen" in plan
+
+
+def test_round2_queries_python_free_and_shaped(spark):
+    """Plan gates for the round-2 additions: portable-hash ops stay JVM
+    native; the new relational shapes pick the right join strategies."""
+    for name in ["ann_lsh_topk", "ann_ivf_topk", "approx_distinct_users",
+                 "dedup_ngram_jaccard"]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+    # Q4 shape plans as a semi join (no full join + dedup)
+    plan = plan_of(QUERIES["order_priority_counts"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:800]
+
+    # Q14 dim join broadcasts (no SortMergeJoin for the small part table)
+    plan = plan_of(QUERIES["promo_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # HLL register extraction keeps a partial (map-side) aggregate
+    plan = plan_of(QUERIES["approx_distinct_users"](spark, SF_DIR))
+    assert "partial_max" in plan or "partial_" in plan
