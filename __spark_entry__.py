@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest_state_salted": Q.q_lww_latest_state_salted,
         # streaming-shaped windows
         "tumbling_window_counts": Q.q_tumbling_window_counts,
+        "hopping_window_counts": Q.q_hopping_window_counts,
         "session_windows": Q.q_session_windows,
         # grouping sets / set ops
         "rollup_revenue": Q.q_rollup_revenue,
@@ -363,6 +364,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_events,
                    cast(sum(cast(value as decimal(28,2))) as double) as sum_value
             from events group by 1, 2
+        """,
+        # hopping windows: 1h / 15min slide -> each event in exactly 4
+        # windows; grid on integer epoch (make_timestamp avoids tz joins)
+        "hopping_window_counts": """
+            with ex as (
+                select event_type, value,
+                       make_timestamp(
+                           ((floor(epoch(ts))::bigint // 900) * 900 - j.j * 900) * 1000000
+                       ) as window_start
+                from events
+                cross join (select unnest(generate_series(0, 3)) as j) j
+            )
+            select strftime(window_start, '%Y-%m-%d %H:%M:%S') as window_start,
+                   event_type,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(28,2))) as double) as sum_value
+            from ex group by 1, 2
         """,
         "session_windows": """
             with flagged as (

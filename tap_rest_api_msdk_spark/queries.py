@@ -333,6 +333,24 @@ def q_tumbling_window_counts(spark, sf_dir):
     )
 
 
+def q_hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 1h windows every 15min — each
+    event lands in exactly 4 overlapping windows. Completes the streaming
+    window family (tumbling / session / hopping), all SQL-oracled."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 def q_session_windows(spark, sf_dir):
     """Sessionization (30-min gap) via gaps-and-islands window functions —
     the batch formulation of a session window, exactly SQL-expressible."""
