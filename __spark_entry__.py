@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from tap_rest_api_msdk_spark import queries as Q
 from tap_rest_api_msdk_spark.functions.sketch import hll_oracle_sql
 from tap_rest_api_msdk_spark.functions.similarity import ivf_topk_oracle_sql
-from tap_rest_api_msdk_spark.operators.neardup import portable_minhash_oracle_sql
+from tap_rest_api_msdk_spark.operators.neardup import (
+    dedup_components_oracle_sql,
+    portable_minhash_oracle_sql,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_simhash": Q.q_dedup_simhash,
+        "dedup_components": Q.q_dedup_components,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -193,6 +197,11 @@ def oracle_sql() -> dict[str, str]:
         # self-join -> exact-Jaccard verify; generated lane-for-lane from
         # the same constants the Spark operator uses
         "dedup_minhash_lsh": portable_minhash_oracle_sql(
+            "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
+        ),
+        # near-dup clusters: iterative min-label components in Spark,
+        # recursive-CTE transitive closure in DuckDB — exact twin
+        "dedup_components": dedup_components_oracle_sql(
             "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
         ),
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token

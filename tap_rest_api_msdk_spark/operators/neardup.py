@@ -357,6 +357,113 @@ def portable_minhash_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# connected components (dedup clusters over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (node, component)
+    where component = min node id reachable (the canonical survivor).
+
+    This is the step AFTER near-dup pair generation: pairs chain (A~B, B~C
+    but not A~C), so deduplication must act on CLUSTERS, not pairs.
+
+    Iterative min-label propagation: each round ships every node's current
+    label across its edges and keeps the min — one shuffle per round,
+    converging in O(graph diameter) rounds (near-dup clusters are shallow;
+    for adversarially long chains switch to large-star/small-star, same
+    loop shape). The driver-side loop is bounded: per round it collects
+    ONE aggregate (the changed-label count), and ``localCheckpoint`` caps
+    the lineage so the plan does not grow with iterations — the standard
+    Spark iterative-algorithm pattern (GraphX/GraphFrames do the same).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components ->
+    one row per cluster (component = min doc id = survivor, n_docs size).
+    Docs with no near-dup partner are singletons and not emitted (their
+    cluster is themselves)."""
+    pairs = minhash_dedup(df, id_col, text_col, n, k, bands, threshold, portable=portable)
+    comps = connected_components(pairs)
+    return comps.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def dedup_components_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`dedup_components` (portable mode): the pair
+    list comes from the generated MinHash oracle, the transitive closure
+    from a recursive CTE, component = min reachable node."""
+    pairs_sql = portable_minhash_oracle_sql(table, id_col, text_col, n, k, bands, threshold)
+    return f"""
+        with recursive pairs as (
+            select id_a, id_b from ({pairs_sql}) q
+        ), edges as (
+            select id_a as a, id_b as b from pairs
+            union
+            select id_b, id_a from pairs
+        ), reach(src, dst) as (
+            select a, b from edges
+            union
+            select r.src, e.b from reach r join edges e on r.dst = e.a
+        ), comp as (
+            select src as node, least(src, min(dst)) as comp
+            from reach group by src
+        )
+        select comp as component, count(*) as n_docs
+        from comp group by comp
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

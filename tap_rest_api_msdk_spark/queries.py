@@ -148,6 +148,19 @@ def q_dedup_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> iterative connected
+    components (min-label propagation) -> one row per cluster. The
+    iterative Spark loop is oracled by a DuckDB RECURSIVE CTE transitive
+    closure — an exact gate even for the iterative algorithm."""
+    from tap_rest_api_msdk_spark.operators.neardup import dedup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_components(
+        docs, "doc_id", "text", n=3, k=32, bands=16, threshold=0.5, portable=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------

@@ -150,3 +150,33 @@ def test_minhash_lanes_are_independent(spark):
             minhash_signature(word_shingles(F.col("text"), 3), 8, portable=portable).alias("s")
         ).first().s
         assert len(set(sig)) == 8, f"lanes collapsed (portable={portable}): {sig}"
+
+
+def test_connected_components_chains_and_cycles(spark):
+    """Pairs chain (A~B, B~C without A~C): components must merge them;
+    cycles and disjoint clusters stay separate."""
+    from tap_rest_api_msdk_spark.operators.neardup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> comp 1
+         (10, 11), (11, 10),          # cycle (duplicate edge) -> comp 10
+         (20, 21)],                   # pair -> comp 20
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_components_groups_transitive_neardups(spark):
+    from tap_rest_api_msdk_spark.operators.neardup import dedup_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " x"), (2, base + " x y"),
+         (50, "completely different text about sparkling distributed engines here"),
+         (51, "completely different text about sparkling distributed engines here now")],
+        "doc_id long, text string",
+    )
+    out = {r.component: r.n_docs for r in
+           dedup_components(docs, "doc_id", "text", threshold=0.4, portable=True).collect()}
+    assert out.get(0) == 3 and out.get(50) == 2
