@@ -47,3 +47,37 @@ def test_watermarked_tumbling_window_stream(spark, tmp_path):
     assert emitted.count() > 0
     mismatch = emitted.filter(got["n"] != truth["n"]).count()
     assert mismatch == 0
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Streaming exact-once dedup bounded by a watermark:
+    dropDuplicatesWithinWatermark keeps the first delivery of each event id
+    while holding only watermark-deep state — the streaming analog of the
+    batch exact-dedup, with bounded memory at 100 TB."""
+    wal = synth_repo_wal(spark, 1000, n_repos=5, n_paths=10)
+    # duplicate every event (simulated at-least-once source), same ts
+    dup = wal.union(wal)
+    slices = write_wal_slices(dup, str(tmp_path / "wal"), 2)
+    schema = spark.read.parquet(slices[0]).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "wal"))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["seq"])
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    # every seq exactly once (duplicates arrive within the watermark)
+    assert got.count() == got.select("seq").distinct().count()
+    assert got.select("seq").distinct().count() == 1000
