@@ -528,29 +528,40 @@ def simhash_signatures_agg(
     (measured ~4x on sf0.1), and the shuffle carries only the partial sums
     (N longs per doc per map partition) — map-side combine for free.
     """
-    if portable:
-        masks = [1 << j for j in range(60)]
-        token_hash = hash60
-    else:
-        masks = [1 << j for j in range(63)] + [-(1 << 63)]
-        token_hash = F.xxhash64
+    n_bits = 60 if portable else 64
+    masks = (
+        [1 << j for j in range(60)]
+        if portable
+        else [1 << j for j in range(63)] + [-(1 << 63)]
+    )
+    token_hash = hash60 if portable else F.xxhash64
     tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tk"))
     h = token_hash(F.col("tk"))
-    sums = tok.groupBy("id").agg(
+    # SWAR packing: bits j, j+16, j+32, j+48 land in four 16-bit lanes of
+    # ONE long via (h >> j) & 0x0001000100010001 — 16 packed sum columns
+    # instead of 60/64 conditional sums, and lane sums can't overflow below
+    # 65536 tokens/doc. bit j of the signature = (2*count_j > n_tokens).
+    lane_mask = 0x0001000100010001
+    packed = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"s{j}")
-            for j, m in enumerate(masks)
-        ]
+            F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(lane_mask))).alias(f"p{j}")
+            for j in range(16)
+        ],
     )
     sig = F.lit(0).cast("long")
     for j, m in enumerate(masks):
+        if j >= n_bits:
+            break
+        lane = j // 16
+        cnt = F.shiftrightunsigned(F.col(f"p{j % 16}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         sig = sig.bitwiseOR(
-            F.when(F.col(f"s{j}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(cnt * 2 > F.col("n_tok"), F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return sums.select("id", sig.alias("sig"))
+    return packed.select("id", sig.alias("sig"))
 
 
 def simhash_neardups(
