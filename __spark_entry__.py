@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark import queries as Q
-from tap_rest_api_msdk_spark.functions.sketch import hll_oracle_sql
+from tap_rest_api_msdk_spark.functions.sketch import (
+    hist_percentiles_oracle_sql,
+    hll_oracle_sql,
+)
 from tap_rest_api_msdk_spark.functions.similarity import ivf_topk_oracle_sql
 from tap_rest_api_msdk_spark.operators.neardup import (
     dedup_components_oracle_sql,
@@ -90,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": Q.q_multimodal_audio_features,
         # percentiles / distinct sketches
         "value_percentiles": Q.q_value_percentiles,
+        "hist_value_percentiles": Q.q_hist_value_percentiles,
         "distinct_users_exact": Q.q_distinct_users_exact,
         "approx_distinct_users": Q.q_approx_distinct_users,
         # relational coverage
@@ -503,6 +507,9 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(distinct user_id) as n_users
             from events group by event_type
         """,
+        "hist_value_percentiles": hist_percentiles_oracle_sql(
+            "events", "event_type", "value", n_buckets=256
+        ),
         "approx_distinct_users": hll_oracle_sql(
             "events", "event_type", "user_id", p=10, out_col="n_users_approx"
         ),

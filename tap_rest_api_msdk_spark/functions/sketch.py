@@ -76,6 +76,127 @@ def hll_distinct(
     return agg.select(*group_cols, F.floor(e).cast("long").alias(out_col))
 
 
+def hist_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_buckets: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Approximate percentiles via a deterministic equi-width histogram —
+    the mergeable sketch path for quantiles (exact ``percentile`` needs a
+    full sort per group; a histogram is two map-side-combined aggregates
+    regardless of input size, like every production quantile sketch).
+
+    Unlike t-digest/KLL, the equi-width histogram is ORDER-FREE and
+    arithmetic-exact-reproducible, so an external SQL engine computes the
+    identical estimate: bucket = floor((v-lo)/w) on IEEE doubles, estimate
+    = lo + w*(bucket + (q*n - cum_before)/count) — single-rounded IEEE ops
+    on identical inputs. Error bound: (hi-lo)/n_buckets per estimate.
+    """
+    gc = [F.col(c) for c in group_cols]
+    stats = df.groupBy(*gc).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    joined = df.join(F.broadcast(stats), list(group_cols))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("__lo")) / w),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("long")
+    counts = joined.groupBy(*gc, bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__lo").alias("__lo"),
+        F.first("__hi").alias("__hi"),
+        F.first("__n").alias("__n"),
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("__c").over(
+        Window.partitionBy(*gc).orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = counts.withColumn("__cum", cum)
+
+    outs = []
+    for q in quantiles:
+        t = F.lit(float(q)) * F.col("__n")
+        w2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+        est = F.col("__lo") + w2 * (
+            F.col("__b") + (t - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+        )
+        est = F.when(F.col("__hi") == F.col("__lo"), F.col("__lo")).otherwise(
+            F.least(est, F.col("__hi"))
+        )
+        name = f"{out_prefix}{int(q * 100)}"
+        # first bucket whose cumulative count reaches q*n
+        picked = (
+            hist.filter(F.col("__cum") >= t)
+            .groupBy(*gc)
+            .agg(F.min(F.struct(F.col("__b"), est.alias("e"))).alias("__w"))
+            .select(*gc, (F.floor(F.col("__w.e") * 1000000) / 1000000).alias(name))
+        )
+        outs.append(picked)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.join(o, list(group_cols))
+    return out
+
+
+def hist_percentiles_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    out_prefix: str = "p",
+) -> str:
+    """DuckDB twin of :func:`hist_percentiles` (identical formulas)."""
+    qcols = []
+    for q in quantiles:
+        name = f"{out_prefix}{int(q * 100)}"
+        qcols.append(f"""
+            (select floor(
+                 case when h.hi = h.lo then h.lo
+                      else least(
+                          h.lo + (h.hi - h.lo) / {float(n_buckets)} *
+                          (x.b + ({float(q)} * h.n - (x.cum - x.c)) / x.c),
+                          h.hi)
+                 end * 1000000) / 1000000
+             from hist x join stats h using ({group_col})
+             where x.{group_col} = g.{group_col} and x.cum >= {float(q)} * h.n
+             order by x.b limit 1) as {name}""")
+    cols = ",".join(qcols)
+    return f"""
+        with stats as (
+            select {group_col}, min({value_col}) as lo, max({value_col}) as hi,
+                   count(*) as n
+            from {table} group by {group_col}
+        ), bucketed as (
+            select t.{group_col},
+                   case when s.hi = s.lo then 0
+                        else least(
+                            floor(({value_col} - s.lo) / ((s.hi - s.lo) / {float(n_buckets)})),
+                            {n_buckets - 1})
+                   end::bigint as b
+            from {table} t join stats s using ({group_col})
+        ), hist as (
+            select {group_col}, b, count(*) as c,
+                   sum(count(*)) over (
+                       partition by {group_col} order by b
+                       rows between unbounded preceding and current row
+                   ) as cum
+            from bucketed group by {group_col}, b
+        )
+        select g.{group_col}, {cols}
+        from (select distinct {group_col} from {table}) g
+    """
+
+
 def hll_oracle_sql(
     table: str, group_col: str, value_col: str, p: int = 10, out_col: str = "n_approx"
 ) -> str:

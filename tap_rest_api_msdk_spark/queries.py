@@ -459,6 +459,17 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_hist_value_percentiles(spark, sf_dir):
+    """Quantile SKETCH path: deterministic equi-width histogram (mergeable,
+    two map-combined aggregates at any scale) — exact-oracle twin of the
+    estimate, unlike t-digest/KLL whose state is order-dependent. Accuracy
+    vs the exact percentiles pinned in tests."""
+    from tap_rest_api_msdk_spark.functions.sketch import hist_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return hist_percentiles(ev, ["event_type"], "value", n_buckets=256)
+
+
 def q_distinct_users_exact(spark, sf_dir):
     """Exact distinct-count per event_type (the sketch's correctness twin)."""
     ev = _t(spark, sf_dir, "events")
