@@ -116,9 +116,13 @@ def parse(path: str) -> List[Callable[[list], list]]:
             val = _literal(g["pval"])
 
             def step(nodes, parts=parts, op=op, val=val):
+                # jsonpath_ng parity: filters apply to LIST elements only
+                # (a bare dict never matches — verified against the lib)
                 out = []
                 for n in nodes:
-                    for el in n if isinstance(n, list) else [n]:
+                    if not isinstance(n, list):
+                        continue
+                    for el in n:
                         got = _dotted_get(el, parts)
                         if got is _MISSING:
                             continue
@@ -144,12 +148,17 @@ def parse(path: str) -> List[Callable[[list], list]]:
         else:  # [*]
 
             def step(nodes):
+                # jsonpath_ng parity: a wildcard over a LIST yields its
+                # elements; over any other non-null value it yields the
+                # value ITSELF (so the reference's default records_path
+                # "$[*]" on a bare-object response emits one record — the
+                # lib's actual behavior, verified in tests)
                 out = []
                 for n in nodes:
                     if isinstance(n, list):
                         out.extend(n)
-                    elif isinstance(n, dict):
-                        out.extend(n.values())
+                    elif n is not None:
+                        out.append(n)
                 return out
 
         steps.append(step)
