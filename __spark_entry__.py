@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bookmark_state": Q.q_bookmark_state,
         "lineage_metrics": Q.q_lineage_metrics,
         "window_lag_delta": Q.q_window_lag_delta,
+        "asof_join_signup": Q.q_asof_join_signup,
         # dedup family
         "dedup_exact": Q.q_dedup_exact,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
@@ -165,6 +166,23 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by event_id
                    ), 6) as value_delta
             from events where user_id < 50
+        """,
+        # as-of join: DuckDB's NATIVE ASOF LEFT JOIN oracles the engine's
+        # union + running-last formulation (inclusive <= tie rule)
+        "asof_join_signup": """
+            with p as (
+                select user_id, ts, event_id from events
+                where event_type = 'purchase'
+            ), s as (
+                select user_id, ts, max(event_id) as signup_event_id
+                from events where event_type = 'signup'
+                group by user_id, ts
+            )
+            select p.user_id, p.event_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') as ts,
+                   s.signup_event_id as signup_event_id_asof
+            from p asof left join s
+              on p.user_id = s.user_id and p.ts >= s.ts
         """,
         "dedup_exact": """
             select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint,

@@ -96,6 +96,31 @@ def q_lineage_metrics(spark, sf_dir):
     )
 
 
+def q_asof_join_signup(spark, sf_dir):
+    """As-of (temporal) join: each purchase matched to the user's latest
+    signup at-or-before it. Spark lacks ASOF JOIN; the engine's
+    union+running-last formulation is O(|L|+|R|) through one exchange —
+    and DuckDB's NATIVE ``ASOF LEFT JOIN`` is the oracle."""
+    from tap_rest_api_msdk_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    out = asof_join(purchases, signups, ["user_id"], "ts", right_cols=["signup_event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("signup_event_id_asof"),
+    )
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-function coverage: per-user event-over-event value delta."""
     from pyspark.sql import Window

@@ -1,0 +1,54 @@
+"""As-of join semantics: inclusive ties, pre-first-match nulls, tie-break
+among same-ts right rows, null right attributes carried faithfully."""
+
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.operators.asof import asof_join
+
+
+def _dfs(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 5, "l5"), (2, 50, "l50")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 60, "r60")],
+        "k long, ts long, rv string",
+    )
+    return left, right
+
+
+def test_asof_basic_and_inclusive_tie(spark):
+    left, right = _dfs(spark)
+    out = {(r.k, r.ts): r.rv_asof for r in asof_join(left, right, ["k"], "ts").collect()}
+    assert out[(1, 5)] is None        # before any right row
+    assert out[(1, 10)] == "r10"      # ts == right ts: INCLUSIVE
+    assert out[(1, 20)] == "r15"      # latest at-or-before
+    assert out[(2, 50)] is None       # right row is later
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left, right = _dfs(spark)
+    out = asof_join(left, right, ["k"], "ts", how="inner")
+    assert {(r.k, r.ts) for r in out.collect()} == {(1, 10), (1, 20)}
+
+
+def test_asof_tie_break_among_same_ts_right_rows(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "a"), (1, 10, 9, "b")], "k long, ts long, ver long, rv string"
+    )
+    out = asof_join(left, right, ["k"], "ts", right_cols=["ver", "rv"], tie_break="ver")
+    row = out.first()
+    assert row.ver_asof == 9 and row.rv_asof == "b"  # max tie_break wins
+
+
+def test_asof_null_right_attribute_is_carried(spark):
+    left = spark.createDataFrame([(1, 20)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, "old"), (1, 10, None)], "k long, ts long, rv string"
+    )
+    out = asof_join(left, right, ["k"], "ts").first()
+    # the ts=10 row is the as-of match even though its attribute is NULL —
+    # a naive last(attr, ignorenulls) would wrongly surface "old"
+    assert out.rv_asof is None
