@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_metrics": Q.q_lineage_metrics,
         "window_lag_delta": Q.q_window_lag_delta,
         "asof_join_signup": Q.q_asof_join_signup,
+        "range_join_clicks": Q.q_range_join_clicks,
         # dedup family
         "dedup_exact": Q.q_dedup_exact,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
@@ -183,6 +184,16 @@ def oracle_sql() -> dict[str, str]:
                    s.signup_event_id as signup_event_id_asof
             from p asof left join s
               on p.user_id = s.user_id and p.ts >= s.ts
+        """,
+        "range_join_clicks": """
+            select e.event_id, e.user_id,
+                   count(c.ts) as n_clicks_5m
+            from (select event_id, user_id, ts from events where event_type = 'error') e
+            left join (select user_id, ts from events where event_type = 'click') c
+              on c.user_id = e.user_id
+             and c.ts >= e.ts - interval 300 seconds
+             and c.ts <  e.ts
+            group by e.event_id, e.user_id
         """,
         "dedup_exact": """
             select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint,

@@ -121,6 +121,19 @@ def q_asof_join_signup(spark, sf_dir):
     )
 
 
+def q_range_join_clicks(spark, sf_dir):
+    """Range join: per error event, clicks by the same user in the
+    preceding 5 minutes — bucketed (key, time-bin) join, never the per-key
+    cross product; exact-inequality oracle in DuckDB."""
+    from tap_rest_api_msdk_spark.operators.range_join import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(errors, clicks, ["user_id"], "ts", 300, out_col="n_clicks_5m")
+    return out.select("event_id", "user_id", "n_clicks_5m")
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-function coverage: per-user event-over-event value delta."""
     from pyspark.sql import Window

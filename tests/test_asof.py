@@ -52,3 +52,25 @@ def test_asof_null_right_attribute_is_carried(spark):
     # the ts=10 row is the as-of match even though its attribute is NULL —
     # a naive last(attr, ignorenulls) would wrongly surface "old"
     assert out.rv_asof is None
+
+
+def test_range_join_count_boundaries(spark):
+    from tap_rest_api_msdk_spark.operators.range_join import range_join_count
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00"),
+         (3, 2, "2024-01-01 10:00:00")],
+        "event_id long, k long, ts string",
+    ).selectExpr("event_id", "k", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00"),  # exactly -300s from e1: INCLUDED
+         (1, "2024-01-01 10:00:00"),  # == e1 ts: EXCLUDED (strict <)
+         (1, "2024-01-01 10:09:00"),  # within e2's window [10:05, 10:10)
+         (2, "2024-01-01 09:45:00")], # candidate bucket hit but outside window -> e3 = 0
+        "k long, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) as ts")
+    out = {r.event_id: r.n for r in
+           range_join_count(left, right, ["k"], "ts", 300, out_col="n").collect()}
+    # e1 [09:55,10:00): the -300s boundary row counts, its own ts doesn't;
+    # e2 [10:05,10:10): only 10:09; e3 has a bucket candidate but no match
+    assert out == {1: 1, 2: 1, 3: 0}
