@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_simhash": Q.q_dedup_simhash,
         "dedup_components": Q.q_dedup_components,
+        "dedup_survivors": Q.q_dedup_survivors,
+        "sample_split": Q.q_sample_split,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -237,6 +239,47 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup_components_oracle_sql(
             "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
         ),
+        # end-to-end dedup: pairs -> components -> anti-join non-survivors
+        "dedup_survivors": f"""
+            with recursive pairs as (
+                select id_a, id_b from ({portable_minhash_oracle_sql(
+                    "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
+                )}) q
+            ), edges as (
+                select id_a as a, id_b as b from pairs
+                union
+                select id_b, id_a from pairs
+            ), reach(src, dst) as (
+                select a, b from edges
+                union
+                select r.src, e.b from reach r join edges e on r.dst = e.a
+            ), comp as (
+                select src as node, least(src, min(dst)) as comp
+                from reach group by src
+            ), losers as (
+                select node as doc_id from comp where node <> comp
+            )
+            select count(*) as n_docs,
+                   sum(len(text)) as total_chars,
+                   min(doc_id) as min_id
+            from documents
+            where doc_id not in (select doc_id from losers)
+        """,
+        # deterministic hash-threshold splits (90/5/5 of the hash60 range)
+        "sample_split": f"""
+            with h as (
+                select doc_id,
+                       cast(concat('0x', substr(md5(doc_id::varchar), 1, 15)) as bigint) as h
+                from documents
+            )
+            select case when h <= {int(((1 << 60) - 1) * 0.90)} then 'train'
+                        when h <= {int(((1 << 60) - 1) * 0.95)} then 'val'
+                        else 'test' end as split,
+                   count(*) as n_docs,
+                   min(doc_id) as min_id,
+                   max(doc_id) as max_id
+            from h group by 1
+        """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)
         "dedup_simhash": f"""

@@ -199,6 +199,50 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by portable-hash threshold —
+    the split is a pure function of doc_id (stable across runs, engines,
+    and cluster sizes; no RNG state to ship). 90/5/5 by hash60 ranges."""
+    from tap_rest_api_msdk_spark.functions.portable_hash import HASH60_MAX, hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    t1 = int(HASH60_MAX * 0.90)
+    t2 = int(HASH60_MAX * 0.95)
+    split = (
+        F.when(h <= t1, F.lit("train")).when(h <= t2, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """END-TO-END dedup: near-dup pairs -> connected components -> drop
+    every cluster member except the min-id survivor -> corpus stats. The
+    full training-data dedup flow as one query, exactly oracled."""
+    from tap_rest_api_msdk_spark.operators.neardup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
+                          threshold=0.5, portable=True)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
