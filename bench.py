@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "approx_distinct_users",
     "multimodal_image_features",
+    "asof_join_signup",
+    "range_join_clicks",
+    "dedup_components",
+    "sample_split",
+    "hist_value_percentiles",
     "tumbling_window_counts",
     "session_windows",
     "rollup_revenue",

@@ -145,9 +145,7 @@ def _minhash_lane_consts(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(
-    shingles: Column, k: int = 32, portable: bool = False, pre_hashed: bool = False
-) -> Column:
+def minhash_signature(shingles: Column, k: int = 32, portable: bool = False) -> Column:
     """k minhashes over the shingle array, one pass, pure JVM expressions.
 
     Default: ``min(xxhash64(shingle, seed=i))`` per lane (fast path).
@@ -176,7 +174,7 @@ def minhash_signature(
 
     if portable:
         m = F.lit(_MERSENNE31)
-        base = shingles if pre_hashed else F.transform(shingles, lambda x: F.pmod(hash60(x), m))
+        base = F.transform(shingles, lambda x: F.pmod(hash60(x), m))
         return F.array(
             *[
                 F.array_min(F.transform(base, _lane_portable(ab)))
@@ -186,13 +184,6 @@ def minhash_signature(
     return F.array(
         *[F.array_min(F.transform(shingles, _lane_xx(i))) for i in range(k)]
     )
-
-
-def shingle_hashes_portable(shingles: Column) -> Column:
-    """Per-shingle hash60 reduced mod 2^31-1 — materialize this as its own
-    projection column so the k lane transforms reuse ONE md5 per shingle
-    (CollapseProject keeps non-cheap aliases separate)."""
-    return F.transform(shingles, lambda x: F.pmod(hash60(x), F.lit(_MERSENNE31)))
 
 
 def minhash_lanes_agg(
@@ -409,10 +400,17 @@ def connected_components(
     the lineage so the plan does not grow with iterations — the standard
     Spark iterative-algorithm pattern (GraphX/GraphFrames do the same).
     """
+    spark = pairs.sparkSession
+    # iterative rounds pay per-TASK overhead each round: size the loop's
+    # shuffle width to the (usually small) pair-graph, not the session's
+    # scan-width default — near-dup graphs are a tiny fraction of the corpus
+    n_parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16))
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition(n_parts, "a")
+    )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
@@ -423,7 +421,10 @@ def connected_components(
             F.col("b").alias("node"), F.col("comp")
         )
         new_labels = (
-            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+            labels.unionByName(msgs)
+            .repartition(n_parts, "node")
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
         changed = (
             labels.alias("o")

@@ -145,3 +145,16 @@ def test_round2_queries_python_free_and_shaped(spark):
     # HLL register extraction keeps a partial (map-side) aggregate
     plan = plan_of(QUERIES["approx_distinct_users"](spark, SF_DIR))
     assert "partial_max" in plan or "partial_" in plan
+
+
+def test_asof_and_range_join_avoid_nested_loop(spark):
+    """The as-of union+window and bucketed range join must never plan a
+    per-key cross product (BroadcastNestedLoopJoin / CartesianProduct)."""
+    for name in ["asof_join_signup", "range_join_clicks"]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+    # range join's equi-join keys include the time bucket
+    plan = plan_of(QUERIES["range_join_clicks"](spark, SF_DIR))
+    assert "__b" in plan
