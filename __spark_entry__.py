@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": Q.q_text_quality,
         "text_langid": Q.q_text_langid,
         "text_fingerprint": Q.q_text_fingerprint,
+        "text_gopher_quality": Q.q_text_gopher_quality,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_pairs_exact": Q.q_embedding_pairs_exact,
@@ -351,6 +352,36 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint
             from documents
+        """,
+        # Gopher quality rules: integer counts + single IEEE divisions
+        "text_gopher_quality": f"""
+            with t as (
+                select {_WS_TOKENS} as w from documents
+            ), m as (
+                select len(w) as n,
+                       list_sum(list_transform(w, x -> len(x))) as total_len,
+                       len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) as alpha_words,
+                       len(list_filter(w, x -> x = '#' or x = '...')) as symbols,
+                       len(list_filter(w, x -> list_contains({_STOP_EN}, x))) as stop_hits
+                from t
+            ), f as (
+                select (n >= 10 and n <= 100000) as ok_word_count,
+                       (total_len / n >= 3.0 and total_len / n <= 10.0) as ok_mean_word_len,
+                       (alpha_words / n >= 0.8) as ok_alpha_ratio,
+                       (stop_hits >= 2) as ok_stopwords,
+                       (symbols / n <= 0.1) as ok_symbol_ratio
+                from m
+            )
+            select count(*) as n_docs,
+                   cast(sum(case when ok_word_count then 0 else 1 end) as bigint) as fail_word_count,
+                   cast(sum(case when ok_mean_word_len then 0 else 1 end) as bigint) as fail_mean_word_len,
+                   cast(sum(case when ok_alpha_ratio then 0 else 1 end) as bigint) as fail_alpha_ratio,
+                   cast(sum(case when ok_stopwords then 0 else 1 end) as bigint) as fail_stopwords,
+                   cast(sum(case when ok_symbol_ratio then 0 else 1 end) as bigint) as fail_symbol_ratio,
+                   cast(sum(case when ok_word_count and ok_mean_word_len and ok_alpha_ratio
+                                  and ok_stopwords and ok_symbol_ratio
+                             then 1 else 0 end) as bigint) as n_pass
+            from f
         """,
         "ann_cosine_topk": """
             with e as (

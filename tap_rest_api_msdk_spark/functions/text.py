@@ -116,3 +116,52 @@ def analyze(df, text_col: str = "text"):
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A — the published web-scale data-prep rule set;
+# thresholds are configurable, defaults adapted to short-doc corpora)
+# ---------------------------------------------------------------------------
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_word_ratio: float = 0.1,
+) -> Column:
+    """Struct of per-rule booleans + overall ``pass`` for one document.
+
+    Every rule is a pure JVM expression over the whitespace tokenization:
+    word-count bounds, mean word length band, fraction of words containing
+    a letter, minimum stop-word evidence, and symbol-to-word ratio
+    (# / ellipsis). Exactly twinnable in SQL — integer counts and single
+    IEEE divisions only.
+    """
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    mean_len = total_len / n
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    symbols = F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
+    stop_hits = stopword_hits(text, "en")
+
+    ok_count = (n >= min_words) & (n <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_alpha = (alpha_words / n) >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    ok_symbol = (symbols / n) <= max_symbol_word_ratio
+    return F.struct(
+        ok_count.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        (ok_count & ok_mean & ok_alpha & ok_stop & ok_symbol).alias("pass"),
+    )

@@ -274,6 +274,25 @@ def q_text_langid(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filter (Rae et al. 2021 App. A shape): per-rule
+    rejection counts + corpus pass rate — the published web-scale data-prep
+    rule set as one aggregate, exactly oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = TX.gopher_quality_flags(F.col("text"))
+    f = docs.select(flags.alias("q"))
+    b = lambda c: F.sum(F.when(F.col(f"q.{c}"), 0).otherwise(1)).cast("long")
+    return f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        b("ok_word_count").alias("fail_word_count"),
+        b("ok_mean_word_len").alias("fail_mean_word_len"),
+        b("ok_alpha_ratio").alias("fail_alpha_ratio"),
+        b("ok_stopwords").alias("fail_stopwords"),
+        b("ok_symbol_ratio").alias("fail_symbol_ratio"),
+        F.sum(F.when(F.col("q.pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))

@@ -84,3 +84,28 @@ def test_quality_prefers_clean_prose(spark):
 def test_text_analysis_plan_is_native(docs):
     plan = analyze(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_gopher_quality_flags_discriminate(spark):
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.functions.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was good for the whole day today ok fine"),
+            (1, "short"),                                     # word-count fail
+            (2, "# # # " * 10 + "the it for is that and was"),  # symbol-ratio fail
+            (3, " ".join(["zz"] * 30)),                       # stopword + mean-len fail
+            (4, " ".join(["1234567"] * 30)),                  # alpha-ratio fail
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.q for r in
+           docs.select("doc_id", gopher_quality_flags(F.col("text")).alias("q")).collect()}
+    assert out[0]["pass"] is True
+    assert out[1]["ok_word_count"] is False
+    assert out[2]["ok_symbol_ratio"] is False
+    assert out[3]["ok_stopwords"] is False
+    assert out[4]["ok_alpha_ratio"] is False
+    assert all(not out[i]["pass"] for i in (1, 2, 3, 4))
