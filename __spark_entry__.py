@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": Q.q_text_langid,
         "text_fingerprint": Q.q_text_fingerprint,
         "text_gopher_quality": Q.q_text_gopher_quality,
+        "text_tfidf_topterms": Q.q_text_tfidf_topterms,
+        "sql_revenue_by_month": Q.q_sql_revenue_by_month,
         # similarity search
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         "embedding_pairs_exact": Q.q_embedding_pairs_exact,
@@ -382,6 +384,40 @@ def oracle_sql() -> dict[str, str]:
                                   and ok_stopwords and ok_symbol_ratio
                              then 1 else 0 end) as bigint) as n_pass
             from f
+        """,
+        # TF-IDF top-3 terms/doc: tf * ln(N/df), floor at 6 decimals
+        "text_tfidf_topterms": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as term from documents
+            ), tf as (
+                select doc_id, term, count(*) as tf from tok group by 1, 2
+            ), df_ as (
+                select term, count(distinct doc_id) as df from tok group by 1
+            ), n as (
+                select count(*) as n_docs from documents
+            ), scored as (
+                select tf.doc_id, tf.term,
+                       floor(tf.tf * ln(cast(n.n_docs as double) / df_.df) * 1000000)
+                           / 1000000 as score
+                from tf join df_ using (term) cross join n
+            ), ranked as (
+                select doc_id, term, score,
+                       row_number() over (
+                           partition by doc_id order by score desc, term asc
+                       ) as "rank"
+                from scored
+            )
+            select doc_id, term, score, "rank" from ranked where "rank" <= 3
+        """,
+        "sql_revenue_by_month": """
+            select strftime(l_shipdate, '%Y-%m') as ship_month,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6)))
+                        as double) as revenue,
+                   count(*) as n_items
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate <  timestamp '1997-01-01'
+            group by 1
         """,
         "ann_cosine_topk": """
             with e as (

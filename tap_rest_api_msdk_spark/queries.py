@@ -293,6 +293,53 @@ def q_text_gopher_quality(spark, sf_dir):
     )
 
 
+def q_text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df). Classic IR weighting, one explode + two aggregates +
+    a per-doc top-k window; floor-truncated at 6 decimals (single-ln,
+    single-multiply — cross-engine exact on identical inputs)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar: the corpus size literal
+    tok = docs.select(
+        "doc_id", F.explode(TX.ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000)
+        / 1000000,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_sql_revenue_by_month(spark, sf_dir):
+    """SQL-surface coverage: the same engine drives spark.sql() over temp
+    views — monthly revenue rollup authored as literal SQL."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        select date_format(l_shipdate, 'yyyy-MM') as ship_month,
+               cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6)))
+                    as double) as revenue,
+               count(*) as n_items
+        from v_lineitem
+        where l_shipdate >= timestamp '1996-01-01'
+          and l_shipdate <  timestamp '1997-01-01'
+        group by date_format(l_shipdate, 'yyyy-MM')
+        """
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
