@@ -28,7 +28,10 @@ from tap_rest_api_msdk_spark.functions.sketch import (
     hist_percentiles_oracle_sql,
     hll_oracle_sql,
 )
-from tap_rest_api_msdk_spark.functions.similarity import ivf_topk_oracle_sql
+from tap_rest_api_msdk_spark.functions.similarity import (
+    ivf_topk_oracle_sql,
+    semantic_dedup_oracle_sql,
+)
 from tap_rest_api_msdk_spark.operators.neardup import (
     dedup_components_oracle_sql,
     portable_minhash_oracle_sql,
@@ -85,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": Q.q_embedding_pairs_exact,
         "ann_lsh_topk": Q.q_ann_lsh_topk,
         "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "semantic_dedup": Q.q_semantic_dedup,
         # skew-handling variant (same oracle as plain LWW)
         "lww_latest_state_salted": Q.q_lww_latest_state_salted,
         # streaming-shaped windows
@@ -500,6 +504,11 @@ def oracle_sql() -> dict[str, str]:
         # term an exact integer < 2^53), multi-probe, cosine re-rank
         "ann_ivf_topk": ivf_topk_oracle_sql(
             "embeddings", k=10, n_centroids=16, n_probe=6, query_pred="vec_id < 10"
+        ),
+        # SemDeDup shape: same quantizer as IVF, within-cluster cosine
+        # pruning, deterministic smaller-id survivor rule
+        "semantic_dedup": semantic_dedup_oracle_sql(
+            "embeddings", n_centroids=16, threshold=0.4
         ),
         "lww_latest_state_salted": """
             with ranked as (

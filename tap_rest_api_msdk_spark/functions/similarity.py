@@ -411,6 +411,120 @@ def ivf_topk_oracle_sql(
     """
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the deterministic coarse quantizer, compare cosine
+    ONLY within clusters, drop every vector that has a smaller-id
+    near-duplicate partner. Returns per-``label_col`` (n_vecs, n_kept).
+
+    Scale shape: the pairwise step is bounded by per-cluster size (~n/C,
+    C ~ sqrt(n)) instead of n² — the published method's exact economics.
+    The survivor rule (keep iff no smaller-id partner above threshold) is
+    deterministic and non-recursive, so the whole pipeline has an exact
+    SQL twin (:func:`semantic_dedup_oracle_sql`).
+    """
+    from tap_rest_api_msdk_spark.functions.portable_hash import hash60
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid_src"),
+            F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0))).alias("cq"),
+            hash60(F.col(id_col).cast("string")).alias("hr"),
+        )
+        .orderBy("hr", "cid_src")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_vecs = [list(r["cq"]) for r in cents]
+
+    def dist2(qcol: Column, cvec: list) -> Column:
+        return F.aggregate(
+            F.zip_with(qcol, F.lit(cvec).cast("array<double>"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    q6 = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
+    scored = F.array(
+        *[F.struct(dist2(q6, cv).alias("d"), F.lit(ci).alias("cid")) for ci, cv in enumerate(cent_vecs)]
+    )
+    assign = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).alias("lbl"),
+        F.array_sort(scored)[0]["cid"].alias("cid"),
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dup_pairs = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b.id").alias("id"))  # the LARGER id is the duplicate
+        .distinct()
+    )
+    kept = assign.join(dup_pairs, "id", "left_anti")
+    return (
+        assign.groupBy(F.col("lbl").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(
+            kept.groupBy(F.col("lbl").alias(label_col)).agg(F.count(F.lit(1)).alias("n_kept")),
+            label_col,
+            "left",
+        )
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+    )
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same quantizer/assignment
+    as the IVF oracle, same survivor rule)."""
+    return f"""
+        with e as (
+            select vec_id, label, cast(embedding as double[]) as v,
+                   list_transform(embedding, x -> floor(x::double * 1000000.0)) as q6,
+                   cast(concat('0x', substr(md5(vec_id::varchar), 1, 15)) as bigint) as hr
+            from {table}
+        ), cents as (
+            select row_number() over (order by hr, vec_id) - 1 as cid, q6 as cq
+            from e order by hr, vec_id limit {n_centroids}
+        ), dists as (
+            select e.vec_id, c.cid,
+                   list_dot_product(e.q6, e.q6) + list_dot_product(c.cq, c.cq)
+                   - 2 * list_dot_product(e.q6, c.cq) as d
+            from e cross join cents c
+        ), assign as (
+            select vec_id, cid from (
+                select vec_id, cid,
+                       row_number() over (partition by vec_id order by d, cid) as rn
+                from dists
+            ) where rn = 1
+        ), dups as (
+            select distinct b.vec_id as id
+            from assign a1 join assign b1
+              on a1.cid = b1.cid and a1.vec_id < b1.vec_id
+            join e a on a.vec_id = a1.vec_id
+            join e b on b.vec_id = b1.vec_id
+            where list_cosine_similarity(a.v, b.v) >= {threshold}
+        )
+        select e.label,
+               count(*) as n_vecs,
+               cast(sum(case when d.id is null then 1 else 0 end) as bigint) as n_kept
+        from e left join dups d on d.id = e.vec_id
+        group by e.label
+    """
+
+
 def embedding_neardups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -421,6 +421,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: cluster via the deterministic coarse
+    quantizer, prune smaller-id cosine near-dups WITHIN clusters only —
+    pairwise cost bounded by cluster size, the published method's
+    economics; per-label keep counts, exactly oracled."""
+    from tap_rest_api_msdk_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_centroids=16, threshold=0.4)
+    return out.select(F.col("label").cast("long").alias("label"), "n_vecs", "n_kept")
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (the MERGE machinery's building blocks)
 # ---------------------------------------------------------------------------
