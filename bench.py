@@ -50,8 +50,11 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "semantic_dedup",
     "approx_distinct_users",
     "multimodal_image_features",
+    "text_gopher_quality",
+    "text_tfidf_topterms",
     "asof_join_signup",
     "range_join_clicks",
     "dedup_components",
