@@ -417,11 +417,22 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # neighbor propagation (one hop along edges) ...
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )
+        # ... plus POINTER DOUBLING (label of my label): the fixpoint is
+        # unchanged (min reachable id) but convergence drops from
+        # O(diameter) to O(log diameter) rounds — each round a node can
+        # jump to its label's label, halving chain depth
+        jumps = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
+        )
         new_labels = (
             labels.unionByName(msgs)
+            .unionByName(jumps)
             .repartition(n_parts, "node")
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
