@@ -74,3 +74,34 @@ def test_range_join_count_boundaries(spark):
     # e1 [09:55,10:00): the -300s boundary row counts, its own ts doesn't;
     # e2 [10:05,10:10): only 10:09; e3 has a bucket candidate but no match
     assert out == {1: 1, 2: 1, 3: 0}
+
+
+def test_asof_fuzz_vs_pandas_merge_asof(spark):
+    """Seeded fuzz parity with pandas.merge_asof(direction='backward',
+    allow_exact_matches=True) — the canonical as-of implementation."""
+    import random
+
+    import pandas as pd
+
+    for seed in (5, 21, 77):
+        rng = random.Random(seed)
+        lrows = [(rng.randint(0, 4), rng.randint(0, 100), i) for i in range(60)]
+        rrows = [(rng.randint(0, 4), rng.randint(0, 100), 1000 + i) for i in range(40)]
+        # dedupe right on (k, ts): keep max rv (mirrors tie_break usage)
+        rbest = {}
+        for k, ts, rv in rrows:
+            rbest[(k, ts)] = max(rbest.get((k, ts), -1), rv)
+        rrows = [(k, ts, rv) for (k, ts), rv in rbest.items()]
+
+        left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+        right = spark.createDataFrame(rrows, "k long, ts long, rv long")
+        got = {r.lid: r.rv_asof
+               for r in asof_join(left, right, ["k"], "ts", right_cols=["rv"]).collect()}
+
+        lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts", kind="stable")
+        ref = pd.merge_asof(lp, rp, on="ts", by="k",
+                            direction="backward", allow_exact_matches=True)
+        want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+                for r in ref.itertuples()}
+        assert got == want, seed
