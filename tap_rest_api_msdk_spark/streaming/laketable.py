@@ -614,6 +614,17 @@ class LakeTable:
                 os.rmdir(full)
         return removed
 
+    def register_view(self, name: str, drop_deletes: bool = True) -> str:
+        """Expose the table's CURRENT resolved state as a temp view so any
+        ``spark.sql`` query runs against it (the engine's catalog hook; on
+        a real deployment this is the Iceberg/HMS table registration).
+        Re-register after new commits to pick up a fresh snapshot."""
+        df = self.to_df(drop_deletes=drop_deletes)
+        if df is None:
+            raise ValueError(f"table at {self.path} has no committed snapshot")
+        df.createOrReplaceTempView(name)
+        return name
+
     # convenience for tests / oracle comparison
     def to_df(
         self, drop_deletes: bool = True, version: Optional[int] = None

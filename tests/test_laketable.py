@@ -170,3 +170,16 @@ def test_reopen_with_mismatched_num_buckets_is_safe(spark, tmp_path):
     assert got[("r1", "p")] == "v1b" and len(got) == 10
     # bucket-pruned read still routes correctly after the update
     assert t2.to_df().count() == 10
+
+
+def test_register_view_enables_sql(spark, tmp_path):
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (1, 30, "c")], "k long, seq long, v string"
+    )
+    t.merge_upsert(df, keys=["k"], order_by=["seq"], batch_id=0)
+    t.register_view("lake_t")
+    got = {r.k: r.v for r in spark.sql("select k, v from lake_t order by k").collect()}
+    assert got == {1: "c", 2: "b"}  # LWW state through plain SQL

@@ -65,3 +65,38 @@ def test_shredded_raw_message_roundtrip(spark):
     parsed = json.loads(row["_sdc_raw_json"])
     assert parsed["content"] == row["content"]
     assert parsed["metadata"]["size"] == row["metadata_size"]
+
+
+def test_shredded_schema_evolution_across_batches(spark, tmp_path):
+    """A shredded source whose struct gains a field mid-stream: the second
+    batch's parquet schema widens the payload schema additively and old
+    rows read back with nulls — same contract as JSON-payload drift."""
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+    from tap_rest_api_msdk_spark.streaming.pipeline import PipelineConfig, process_batch
+
+    b1 = spark.range(0, 50).select(
+        F.col("id").alias("seq"),
+        F.format_string("r%02d", F.col("id") % 5).alias("repo"),
+        F.format_string("p%02d", F.col("id") % 7).alias("path"),
+        F.lit("c").alias("commit"),
+        F.struct(F.col("id").alias("size")).alias("payload"),
+    )
+    b2 = spark.range(50, 100).select(
+        F.col("id").alias("seq"),
+        F.format_string("r%02d", F.col("id") % 5).alias("repo"),
+        F.format_string("p%02d", F.col("id") % 7).alias("path"),
+        F.lit("c").alias("commit"),
+        F.struct(F.col("id").alias("size"), (F.col("id") * 2).alias("stars")).alias("payload"),
+    )
+    conf = PipelineConfig(stream="s", keys=["repo", "path"], order_by=["seq", "commit"],
+                          op_col=None, num_buckets=4)
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    process_batch(t, conf, b1, 0)
+    process_batch(t, conf, b2, 1)
+    out = t.to_df()
+    assert "stars" in out.columns
+    rows = {r.seq: r.stars for r in out.collect()}
+    assert all(v == s * 2 for s, v in rows.items() if s >= 50)
+    assert all(v is None for s, v in rows.items() if s < 50)
