@@ -55,3 +55,58 @@ def running_state_stream(wal_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 state API): same tracker on the successor of
+# NOTE: the TWS python runner needs google.protobuf at runtime (absent in
+# this container — the test skips); the wiring itself is version-guarded.
+# applyInPandasWithState — typed per-key ValueState, timers available,
+# state-store-backed. Kept alongside the classic form so pipelines can
+# migrate without semantic change.
+# ---------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class KeyStateTracker(StatefulProcessor):
+        """Per (repo, path): running update count + max seq via ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n_updates long, max_seq long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._agg.get() if self._agg.exists() else (0, -1)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, int(pdf["seq"].max()))
+            self._agg.update((n, mx))
+            yield pd.DataFrame(
+                [{"repo": key[0], "path": key[1], "n_updates": n, "max_seq": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_state_stream_tws(wal_stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas wiring of the same tracker."""
+        return (
+            wal_stream.select("repo", "path", "seq")
+            .groupBy("repo", "path")
+            .transformWithStateInPandas(
+                statefulProcessor=KeyStateTracker(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover - older Spark without the TWS API
+    KeyStateTracker = None
+
+    def running_state_stream_tws(wal_stream: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")
