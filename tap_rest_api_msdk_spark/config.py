@@ -131,6 +131,10 @@ class StreamConfig:
     store_raw_json_message: bool = False
     # validated credential options (A2-A5 surface); None = no auth config
     auth: Optional[dict] = None
+    # A7 backoff knobs (tap.py:311-340); consumed by backoff_wait_seconds
+    backoff_type: Optional[str] = None
+    backoff_param: str = "Retry-After"
+    backoff_time_extension: int = 0
 
 
 # keys resolved stream-first with a plain top-level fallback (tap.py:456-477)
@@ -160,7 +164,36 @@ _TOP_LEVEL_ONLY = {
     "pagination_initial_offset": 1,
     "use_request_body_not_params": False,
     "store_raw_json_message": False,
+    "backoff_type": None,
+    "backoff_param": "Retry-After",
+    "backoff_time_extension": 0,
 }
+
+
+def backoff_wait_seconds(
+    backoff_type: Optional[str],
+    response_headers: Optional[dict] = None,
+    response_message: Optional[str] = None,
+    backoff_param: str = "Retry-After",
+    backoff_time_extension: int = 0,
+) -> Optional[float]:
+    """A7 wait-computation parity (streams.py:239-277): how long a throttled
+    source asks us to back off.
+
+    * ``"header"`` — int(headers[backoff_param] or 0) + extension
+    * ``"message"`` — the LARGEST whitespace-separated integer in the
+      response message + extension (the reference's heuristic; like the
+      reference, a message with no digits raises ValueError from max([]))
+    * anything else (incl. None) — None: caller uses its default policy
+      (the reference falls through to the SDK generator; this engine maps
+      it to Spark task-retry / trigger pacing — see SCALE.md disposition)
+    """
+    if backoff_type == "header":
+        return int((response_headers or {}).get(backoff_param, 0)) + backoff_time_extension
+    if backoff_type == "message":
+        res = [int(i) for i in str(response_message or 0).split() if i.isdigit()]
+        return int(max(res)) + backoff_time_extension
+    return None
 
 
 def resolve_streams(config: dict) -> list[StreamConfig]:

@@ -88,3 +88,35 @@ def test_user_agent_becomes_header_with_override():
     a, b = resolve_streams(cfg)
     assert a.headers == {"User-Agent": "acme-tap/1.0", "X-Top": "1"}
     assert b.headers["User-Agent"] == "override/2.0"
+
+
+def test_backoff_wait_parity():
+    """A7: wait computation mirrors streams.py:239-277 exactly."""
+    import pytest
+
+    from tap_rest_api_msdk_spark.config import backoff_wait_seconds, resolve_streams
+
+    # header style: Retry-After + extension; missing header -> 0 + ext
+    assert backoff_wait_seconds("header", {"Retry-After": "30"},
+                                backoff_time_extension=5) == 35
+    assert backoff_wait_seconds("header", {}, backoff_time_extension=5) == 5
+    assert backoff_wait_seconds("header", {"X-Wait": "9"},
+                                backoff_param="X-Wait") == 9
+    # message style: LARGEST integer in the message
+    assert backoff_wait_seconds(
+        "message", response_message="rate limited, retry in 120 seconds (code 429)"
+    ) == 120  # "429)" is not isdigit(); max over clean integer tokens
+    assert backoff_wait_seconds(
+        "message", response_message="retry in 30 or 600 seconds"
+    ) == 600  # the reference takes the LARGEST integer — quirk preserved
+    # reference quirk: digit-free message -> max([]) raises
+    with pytest.raises(ValueError):
+        backoff_wait_seconds("message", response_message="slow down please")
+    # anything else -> None (default policy)
+    assert backoff_wait_seconds(None) is None
+    assert backoff_wait_seconds("exotic") is None
+
+    # the config keys resolve (no silently-dropped knob)
+    (s,) = resolve_streams({"streams": [{"name": "s"}], "backoff_type": "header",
+                            "backoff_param": "X-RL", "backoff_time_extension": 3})
+    assert (s.backoff_type, s.backoff_param, s.backoff_time_extension) == ("header", "X-RL", 3)
