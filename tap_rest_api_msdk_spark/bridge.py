@@ -56,6 +56,7 @@ def pipeline_config_for(stream: StreamConfig, payload_col: str = "payload") -> P
         store_raw_json_message=bool(stream.store_raw_json_message),
         start_date=start_date,
         result_limit=stream.pagination_results_limit,
+        inference_records=stream.num_inference_records,
     )
 
 

@@ -174,3 +174,12 @@ def test_malformed_payload_policies(spark, tmp_path):
     assert {r.k for r in dlq.to_df().collect()} == {"k0", "k2"}
     dead = spark.read.parquet(str(tmp_path / "dlq" / "dlq"))
     assert dead.count() == 1 and dead.collect()[0].k == "k1"
+
+
+def test_bridge_maps_num_inference_records():
+    """F4 knob must reach the pipeline (was config-resolved but dropped)."""
+    from tap_rest_api_msdk_spark.bridge import build_pipelines
+
+    cfg = {"streams": [{"name": "s", "num_inference_records": 7}]}
+    (_, conf, _), = build_pipelines(cfg)
+    assert conf.inference_records == 7
