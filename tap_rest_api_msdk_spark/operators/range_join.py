@@ -51,7 +51,9 @@ def range_join_count(
     )
     in_range = (
         F.col("__rts").isNotNull()
-        & (F.col("__rts") >= F.col(ts_col) - F.expr(f"INTERVAL {int(w)} SECONDS"))
+        # fractional windows honored exactly (INTERVAL '<w>' SECOND takes a
+        # decimal literal; int-casting would silently truncate 90.5 -> 90)
+        & (F.col("__rts") >= F.col(ts_col) - F.expr(f"INTERVAL '{w}' SECOND"))
         & (F.col("__rts") < F.col(ts_col))
     )
     # count CONDITIONALLY (no pre-filter): a left row whose bucket

@@ -105,3 +105,18 @@ def test_asof_fuzz_vs_pandas_merge_asof(spark):
         want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
                 for r in ref.itertuples()}
         assert got == want, seed
+
+
+def test_range_join_fractional_window(spark):
+    from tap_rest_api_msdk_spark.operators.range_join import range_join_count
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:01.500")], "event_id long, k long, ts string"
+    ).selectExpr("event_id", "k", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.000"),   # 1.5s before: inside a 1.5s window
+         (1, "2024-01-01 09:59:59.999")],  # 1.501s before: outside
+        "k long, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) as ts")
+    out = range_join_count(left, right, ["k"], "ts", 1.5, out_col="n").first()
+    assert out.n == 1  # int truncation to 1s would have counted 0
