@@ -5,9 +5,13 @@
                    training-data extensions), each (spark, sf_dir) -> DF.
 ``oracle_sql()`` — DuckDB ANSI-SQL twins (column names/values matched).
 
-Queries without an oracle entry (xxhash64/LSH-based scale paths) are
-rows-only checked by the driver; their correctness is pinned against the
-exact variants in tests/ (recall >= bounds, no false positives).
+EVERY registered query carries an exact oracle — including the
+hash-derived scale paths (MinHash/SimHash/LSH/IVF/HLL), which run in
+portable-hash mode (md5-derived 60-bit lanes + exact-integer arithmetic,
+see functions/portable_hash.py) so DuckDB reproduces them bit-for-bit;
+the iterative connected-components is twinned by a recursive CTE, and
+multimodal decode by the asset-generation formulas. Verify locally:
+``python scripts/check_oracles.py --sf 0.01``.
 """
 
 from __future__ import annotations
