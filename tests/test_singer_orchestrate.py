@@ -89,3 +89,27 @@ def test_start_all_concurrent_streams(spark, tmp_path):
         s = {tuple(r) for r in tables[name].to_df().select("repo", "path", "seq").collect()}
         t = {tuple(r) for r in batch_tables[name].to_df().select("repo", "path", "seq").collect()}
         assert s == t, name
+
+
+def test_run_all_mixed_payload_formats(spark, tmp_path):
+    """One tap config, two streams with DIFFERENT WAL encodings (JSON
+    payload vs pre-shredded struct): the orchestrator resolves each from
+    the parquet schema alone and both converge to the same state."""
+    wal_j = synth_repo_wal(spark, 1500, n_repos=4, n_paths=10, seed=7)
+    wal_s = synth_repo_wal(spark, 1500, n_repos=4, n_paths=10, seed=7, shredded=True)
+    dirs = {}
+    for name, df in (("jsonic", wal_j), ("shredded", wal_s)):
+        d = str(tmp_path / f"wal_{name}")
+        df.write.parquet(d)
+        dirs[name] = d
+    config = {
+        "streams": [
+            {"name": "jsonic", "primary_keys": ["repo", "path"], "replication_key": "seq"},
+            {"name": "shredded", "primary_keys": ["repo", "path"], "replication_key": "seq"},
+        ]
+    }
+    tables = run_all(spark, config, dirs, str(tmp_path / "lake"))
+    cols = ["repo", "path", "seq", "commit", "content"]
+    a = sorted(tuple(r) for r in tables["jsonic"].to_df().select(*cols).collect())
+    b = sorted(tuple(r) for r in tables["shredded"].to_df().select(*cols).collect())
+    assert a == b and len(a) > 0
