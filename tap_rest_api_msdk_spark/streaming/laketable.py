@@ -591,16 +591,24 @@ class LakeTable:
         self._publish(manifest)
         return {"skipped": False, "version": epoch, "files": len(by_index)}
 
-    def vacuum(self) -> int:
-        """Delete data files no longer referenced by the CURRENT manifest.
-        Returns the number of files removed. Single-writer assumption means
-        no reader can hold an older snapshot across this call (a real
-        deployment would retain N snapshots / use a grace period)."""
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files not referenced by the last ``retain_last``
+        manifests (default 1 = current snapshot only). Returns the number
+        of files removed. ``retain_last > 1`` keeps that many historical
+        snapshots time-travelable after maintenance — the Iceberg
+        expire-snapshots retention contract. Single-writer assumption means
+        no reader can hold an unretained snapshot across this call."""
         m = self.current_manifest()
         if m is None:
             return 0
-        live = {f for flist in m["files"].values() for f in flist}
-        live |= {f for flist in m.get("deltas", {}).values() for f in flist}
+        live: set = set()
+        newest = m["version"]
+        for v in range(max(0, newest - max(1, retain_last) + 1), newest + 1):
+            snap = self.manifest_at(v)
+            if snap is None:
+                continue
+            live |= {f for flist in snap["files"].values() for f in flist}
+            live |= {f for flist in snap.get("deltas", {}).values() for f in flist}
         removed = 0
         data_root = os.path.join(self.path, "data")
         for epoch_dir in sorted(os.listdir(data_root)):

@@ -183,3 +183,23 @@ def test_register_view_enables_sql(spark, tmp_path):
     t.register_view("lake_t")
     got = {r.k: r.v for r in spark.sql("select k, v from lake_t order by k").collect()}
     assert got == {1: "c", 2: "b"}  # LWW state through plain SQL
+
+
+def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    for i in range(3):
+        df = spark.createDataFrame([(k, 100 * i + k, f"v{i}") for k in range(10)],
+                                   "k long, seq long, v string")
+        t.merge_upsert(df, keys=["k"], order_by=["seq"], batch_id=i)
+    cur = t.current_manifest()["version"]
+    # retain the last 2 snapshots: the previous version must stay readable
+    t.vacuum(retain_last=2)
+    prev = t.to_df(version=cur - 1)
+    assert {r.v for r in prev.collect()} == {"v1"}
+    assert {r.v for r in t.to_df().collect()} == {"v2"}
+    # default retention (current only) then reclaims the older snapshot
+    removed = t.vacuum()
+    assert removed >= 0
+    assert {r.v for r in t.to_df().collect()} == {"v2"}
