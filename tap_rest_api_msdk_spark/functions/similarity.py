@@ -269,6 +269,50 @@ def lsh_bucketed_topk_portable(
     )
 
 
+def _ivf_assign_np(
+    df: DataFrame,
+    cent_vecs: list,
+    n_lists: int,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cid) rows for each vector's ``n_lists`` nearest centroids, via
+    ONE exact-int64 numpy pass: q = floor(x*1e6) int64; d2 = |q|^2 + |c|^2
+    - 2 q.c — every term an exact integer < 2^53, so ranks are bit-identical
+    to the expression form and the SQL oracle. Replaces C interpreted
+    ``aggregate(zip_with(...))`` distance folds per row."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(cent_vecs, dtype=np.int64)          # (C, dim)
+    cnorm = (cents * cents).sum(axis=1)                    # (C,) exact
+    schema = f"{out_id} long, cid int"
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({out_id: [], "cid": []})
+                continue
+            q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1e6
+            ).astype(np.int64)                              # (n, dim)
+            d2 = (q * q).sum(axis=1, keepdims=True) + cnorm[None, :] - 2 * (q @ cents.T)
+            # argsort by (d2, cid): lexsort keys are last-key-primary
+            order = np.lexsort((np.broadcast_to(np.arange(len(cents)), d2.shape), d2), axis=1)
+            top = order[:, :n_lists]                        # (n, n_lists)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_lists),
+                    "cid": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -306,30 +350,8 @@ def ivf_topk_portable(
     )
     cent_vecs = [list(r["cq"]) for r in cents]  # cid = list index (hr order)
 
-    def dist2(qcol: Column, cvec: list) -> Column:
-        return F.aggregate(
-            F.zip_with(qcol, F.lit(cvec).cast("array<double>"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def with_assignments(df: DataFrame, out_id: str, n_lists: int) -> DataFrame:
-        q6 = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
-        scored = F.array(
-            *[
-                F.struct(dist2(q6, cv).alias("d"), F.lit(ci).alias("cid"))
-                for ci, cv in enumerate(cent_vecs)
-            ]
-        )
-        # array_sort on struct = lexicographic (d, cid): exact-integer
-        # doubles give cross-engine-identical order; take n_lists probes
-        probes = F.slice(F.array_sort(scored), 1, n_lists)
-        return df.select(
-            F.col(id_col).alias(out_id), F.explode(probes).alias("p")
-        ).select(out_id, F.col("p.cid").alias("cid"))
-
-    c_assign = with_assignments(corpus, "neighbor_id", 1)
-    q_probe = with_assignments(queries, "query_id", n_probe)
+    c_assign = _ivf_assign_np(corpus, cent_vecs, 1, "neighbor_id", id_col, vec_col)
+    q_probe = _ivf_assign_np(queries, cent_vecs, n_probe, "query_id", id_col, vec_col)
     cands = (
         c_assign.join(q_probe, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -444,23 +466,12 @@ def semantic_dedup(
     )
     cent_vecs = [list(r["cq"]) for r in cents]
 
-    def dist2(qcol: Column, cvec: list) -> Column:
-        return F.aggregate(
-            F.zip_with(qcol, F.lit(cvec).cast("array<double>"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    q6 = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)))
-    scored = F.array(
-        *[F.struct(dist2(q6, cv).alias("d"), F.lit(ci).alias("cid")) for ci, cv in enumerate(cent_vecs)]
-    )
+    cid_rows = _ivf_assign_np(corpus, cent_vecs, 1, "id", id_col, vec_col)
     assign = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col(label_col).alias("lbl"),
-        F.array_sort(scored)[0]["cid"].alias("cid"),
-    )
+    ).join(cid_rows, "id")
     a, b = assign.alias("a"), assign.alias("b")
     dup_pairs = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")))
