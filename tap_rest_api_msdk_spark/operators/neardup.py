@@ -416,6 +416,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor propagation (one hop along edges) ...
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
@@ -437,15 +438,14 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.comp") != F.col("n.comp"))
-            .count()
-        )
+        # convergence via the monotone invariant: labels only ever DECREASE,
+        # so any change strictly lowers sum(comp) — one tiny aggregate on
+        # the already-checkpointed frame instead of a join + count
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", "comp")
 
 
