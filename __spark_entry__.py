@@ -271,7 +271,7 @@ def oracle_sql() -> dict[str, str]:
                 select node as doc_id from comp where node <> comp
             )
             select count(*) as n_docs,
-                   sum(len(text)) as total_chars,
+                   cast(sum(len(text)) as bigint) as total_chars,
                    min(doc_id) as min_id
             from documents
             where doc_id not in (select doc_id from losers)
@@ -507,12 +507,12 @@ def oracle_sql() -> dict[str, str]:
         # quantized assignment (floor(x*1e6); d2 via |a|^2+|b|^2-2ab, every
         # term an exact integer < 2^53), multi-probe, cosine re-rank
         "ann_ivf_topk": ivf_topk_oracle_sql(
-            "embeddings", k=10, n_centroids=16, n_probe=6, query_pred="vec_id < 10"
+            "embeddings", k=10, n_centroids=None, n_probe=6, query_pred="vec_id < 10"
         ),
         # SemDeDup shape: same quantizer as IVF, within-cluster cosine
         # pruning, deterministic smaller-id survivor rule
         "semantic_dedup": semantic_dedup_oracle_sql(
-            "embeddings", n_centroids=16, threshold=0.4
+            "embeddings", n_centroids=None, threshold=0.4
         ),
         "lww_latest_state_salted": """
             with ranked as (

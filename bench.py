@@ -35,6 +35,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WAL_EVENTS = int(os.environ.get("BENCH_WAL_EVENTS", "4000000"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
 
+# the r1 17-query set: its subtotal is emitted as shared_set_seconds every
+# round so cross-round comparisons are one number even as the suite grows
+SHARED_SET = [
+    "lww_latest_state", "incremental_filter", "flatten_props",
+    "bookmark_state", "lineage_metrics", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "text_quality", "text_langid", "ann_cosine_topk",
+    "tumbling_window_counts", "session_windows", "rollup_revenue",
+    "pricing_summary", "top_revenue_orders", "join_enrich_broadcast",
+]
+
 BENCH_QUERIES = [
     "lww_latest_state",
     "incremental_filter",
@@ -204,7 +214,14 @@ def main() -> None:
                 }
             )
         result.update(
-            {"value": round(sum(queries_sec.values()) + t_hi, 3), "queries": queries_sec, "cdc_replay": cdc}
+            {
+                "value": round(sum(queries_sec.values()) + t_hi, 3),
+                "shared_set_seconds": round(
+                    sum(queries_sec[q] for q in SHARED_SET if q in queries_sec), 3
+                ),
+                "queries": queries_sec,
+                "cdc_replay": cdc,
+            }
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -27,18 +27,45 @@ TABLES = [
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+    """Render a cell to a dtype-strict string, mirroring the driver's
+    string-hash: int 149174 and float 149174.0 must NOT compare equal
+    (a DuckDB HUGEINT aggregate surfacing as pandas float64 is a real
+    mismatch the driver catches — this gate must catch it too)."""
+    import numpy as np
+
+    if v is None:
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        return f"f:{f!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"y:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "a:[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "m:{" + ",".join(f"{k}={norm_cell(v[k])}" for k in sorted(v)) + "}"
+    # pandas NaT / Decimal / timestamps: fall back to typed repr
+    if v != v:  # NaN-like (NaT)
+        return "f:NaN"
+    return f"o:{type(v).__name__}:{v!r}"
 
 
 def frame_key(df):
-    """pandas DF -> (n_rows, sorted col names, sorted row tuples)."""
+    """pandas DF -> (n_rows, sorted col names, sorted dtype-strict row
+    tuples). Every cell is rendered to a typed string so cross-engine
+    dtype drift (HUGEINT->float64, int32 vs int64 is NOT collapsed by
+    Python ``==``) fails here exactly as it fails the driver."""
     cols = sorted(df.columns)
     rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    rows.sort()
     return len(rows), cols, rows
 
 

@@ -70,6 +70,11 @@ def validate_auth(config: dict) -> Optional[dict]:
     method = config.get("auth_method", "")
     if not method:
         return None
+    if method == "no_auth":
+        # the reference's select_authenticator falls through its
+        # elif-chain for "no_auth" and returns no authenticator
+        # (auth.py:235-284) — mirror that: no credential dict
+        return None
     if method not in AUTH_METHODS:
         raise ValueError(
             f"Unknown authentication method {method}. Use api_key, basic, oauth, "
@@ -217,12 +222,15 @@ def resolve_streams(config: dict) -> list[StreamConfig]:
             **config.get("headers", {}),
             **stream.get("headers", {}),
         }
-        # auth: stream config overrides tap config (the reference's
-        # my_config = stream._config or tap.config precedence, auth.py:219-223);
-        # validated HERE so a bad auth config fails at resolve time
-        auth_src = {k: v for k, v in config.items() if k in _AUTH_KEYS}
-        auth_src.update({k: v for k, v in stream.items() if k in _AUTH_KEYS})
-        kwargs["auth"] = validate_auth(auth_src)
+        # auth: the reference picks the TAP config WHOLESALE whenever it is
+        # present (`if self.config: my_config = self.config elif
+        # self._config:`, auth.py:220-223) — the stream-level auth keys only
+        # apply when the tap level carries none. Mirror that: tap auth-key
+        # set wins as a unit (no per-key merge). Validated HERE so a bad
+        # auth config fails at resolve time.
+        tap_auth = {k: v for k, v in config.items() if k in _AUTH_KEYS}
+        stream_auth = {k: v for k, v in stream.items() if k in _AUTH_KEYS}
+        kwargs["auth"] = validate_auth(tap_auth if tap_auth else stream_auth)
         schema_config = stream.get("schema")
         if isinstance(schema_config, str):
             kwargs["schema_file"] = schema_config

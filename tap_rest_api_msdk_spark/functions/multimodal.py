@@ -189,7 +189,15 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                         "container decodes RIFF/WAVE PCM only"
                     )
                 _, _, channels, rate, _, _, bits = struct.unpack("<IHHIIHH", blob[16:36])
-                assert blob[36:40] == b"data" and bits == 16 and channels == 1
+                if blob[36:40] != b"data" or bits != 16 or channels != 1:
+                    # explicit raise, not assert: asserts vanish under
+                    # `python -O` and a stereo/24-bit or extra-chunk RIFF
+                    # would be silently mis-decoded at the fixed offset 44
+                    raise NotImplementedError(
+                        f"unsupported WAV layout (chunk {blob[36:40]!r}, "
+                        f"bits={bits}, channels={channels}); this container "
+                        "decodes canonical mono PCM16 RIFF only"
+                    )
                 (dsize,) = struct.unpack("<I", blob[40:44])
                 samples = np.frombuffer(blob, dtype="<i2", offset=44, count=dsize // 2)
                 n = len(samples)

@@ -313,11 +313,32 @@ def _ivf_assign_np(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def auto_centroids(n: int) -> int:
+    """Index granularity that scales with the corpus: C = max(16,
+    ceil(sqrt(n))). Keeps per-cluster list size ~n/C ~ sqrt(n), so the
+    within-cluster pairwise/probe work stays ~n*sqrt(n) total instead of
+    n²/16 — the standard IVF sizing rule. A fixed C=16 is fine at sf0.01
+    but collapses to near-all-pairs at 10^10 vectors."""
+    import math
+
+    return max(16, int(math.ceil(math.sqrt(max(n, 0)))))
+
+
+def _centroid_limit_sql(n_centroids) -> str:
+    """LIMIT operand for the oracle CTEs: a literal when C is pinned, or
+    the same greatest(16, ceil(sqrt(count(*)))) rule computed over the
+    corpus CTE ``e`` when auto-sized — keeps oracle and engine
+    parameter-matched at every SF without plumbing counts around."""
+    if n_centroids is not None:
+        return str(int(n_centroids))
+    return "(select greatest(16, cast(ceil(sqrt(count(*))) as bigint)) from e)"
+
+
 def ivf_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -337,6 +358,8 @@ def ivf_topk_portable(
     """
     from tap_rest_api_msdk_spark.functions.portable_hash import hash60
 
+    if n_centroids is None:
+        n_centroids = auto_centroids(corpus.count())
     # --- deterministic coarse quantizer (driver-side: C vectors, bounded)
     cents = (
         corpus.select(
@@ -380,7 +403,7 @@ def ivf_topk_portable(
 def ivf_topk_oracle_sql(
     table: str = "embeddings",
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     query_pred: str = "vec_id < 10",
 ) -> str:
@@ -396,7 +419,7 @@ def ivf_topk_oracle_sql(
             from {table}
         ), cents as (
             select row_number() over (order by hr, vec_id) - 1 as cid, q6 as cq
-            from e order by hr, vec_id limit {n_centroids}
+            from e order by hr, vec_id limit {_centroid_limit_sql(n_centroids)}
         ), dists as (
             select e.vec_id, c.cid,
                    list_dot_product(e.q6, e.q6) + list_dot_product(c.cq, c.cq)
@@ -435,7 +458,7 @@ def ivf_topk_oracle_sql(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -454,6 +477,8 @@ def semantic_dedup(
     """
     from tap_rest_api_msdk_spark.functions.portable_hash import hash60
 
+    if n_centroids is None:
+        n_centroids = auto_centroids(corpus.count())
     cents = (
         corpus.select(
             F.col(id_col).alias("cid_src"),
@@ -495,7 +520,7 @@ def semantic_dedup(
 
 def semantic_dedup_oracle_sql(
     table: str = "embeddings",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.4,
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup` (same quantizer/assignment
@@ -508,7 +533,7 @@ def semantic_dedup_oracle_sql(
             from {table}
         ), cents as (
             select row_number() over (order by hr, vec_id) - 1 as cid, q6 as cq
-            from e order by hr, vec_id limit {n_centroids}
+            from e order by hr, vec_id limit {_centroid_limit_sql(n_centroids)}
         ), dists as (
             select e.vec_id, c.cid,
                    list_dot_product(e.q6, e.q6) + list_dot_product(c.cq, c.cq)

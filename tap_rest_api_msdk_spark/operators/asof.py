@@ -59,11 +59,15 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
     )
-    tb = (
-        F.col(f"__r_{tie_break}")
-        if tie_break and tie_break in rcols
-        else F.lit(0)
-    )
+    if tie_break and tie_break not in rcols:
+        # never silently ignore the caller's determinism request: an
+        # explicit right_cols list that omits the tie_break column would
+        # otherwise produce a nondeterministic same-timestamp match
+        raise ValueError(
+            f"tie_break column {tie_break!r} is not among the carried right "
+            f"columns {rcols!r}; include it in right_cols (or drop tie_break)"
+        )
+    tb = F.col(f"__r_{tie_break}") if tie_break else F.lit(0)
     l = left.select(
         *keys,
         F.col(ts_col).alias("__ts"),

@@ -379,11 +379,50 @@ def portable_minhash_oracle_sql(
 # connected components (dedup clusters over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def _loop_shuffle_width(spark) -> int:
+    """Shuffle width for iterative loops: the (usually small) pair-graph
+    does not need the session's scan-width default, and per-round task
+    overhead is paid every iteration. Deployments may set
+    ``spark.sql.shuffle.partitions`` to a non-numeric value (e.g. "auto"
+    under Databricks AQE) — fall back to defaultParallelism then."""
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        try:
+            width = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect has no sparkContext
+            width = 16
+    return max(2, min(width, 16))
+
+
+def _iter_checkpoint(df: DataFrame, mode: str) -> DataFrame:
+    """Truncate lineage between iterative rounds.
+
+    mode="reliable" uses ``df.checkpoint()`` — blocks are written to the
+    session's checkpoint dir (shared storage on a real cluster), so an
+    executor loss mid-loop recomputes FROM THE FILES instead of killing
+    the job. mode="local" uses ``localCheckpoint()`` — executor-local
+    blocks, fast but not fault-tolerant (fine for local[N] testing).
+    mode="auto" picks reliable iff a checkpoint dir is configured.
+    """
+    if mode == "auto":
+        try:
+            has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+        except Exception:  # Spark Connect: no sparkContext; checkpoint() still works
+            has_dir = True
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint: str = "auto",
+    _round_hook=None,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> (node, component)
     where component = min node id reachable (the canonical survivor).
@@ -396,15 +435,20 @@ def connected_components(
     converging in O(graph diameter) rounds (near-dup clusters are shallow;
     for adversarially long chains switch to large-star/small-star, same
     loop shape). The driver-side loop is bounded: per round it collects
-    ONE aggregate (the changed-label count), and ``localCheckpoint`` caps
-    the lineage so the plan does not grow with iterations — the standard
-    Spark iterative-algorithm pattern (GraphX/GraphFrames do the same).
+    ONE aggregate (the decimal label-sum), and per-round checkpointing
+    caps the lineage so the plan does not grow with iterations — the
+    standard Spark iterative-algorithm pattern (GraphX/GraphFrames do the
+    same).
+
+    ``checkpoint``: "reliable" (checkpoint-dir files — survives executor
+    loss on a hours-long 100 TB dedup), "local" (executor blocks, fast,
+    single-job-lifetime only), or "auto" (reliable iff
+    ``sparkContext.setCheckpointDir`` was called). ``_round_hook(i,
+    labels)`` is a test seam invoked after each round's checkpoint (chaos
+    tests drop cached blocks through it).
     """
     spark = pairs.sparkSession
-    # iterative rounds pay per-TASK overhead each round: size the loop's
-    # shuffle width to the (usually small) pair-graph, not the session's
-    # scan-width default — near-dup graphs are a tiny fraction of the corpus
-    n_parts = max(2, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16))
+    n_parts = _loop_shuffle_width(spark)
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -414,10 +458,15 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    sym = _iter_checkpoint(sym, checkpoint)
+    labels = _iter_checkpoint(labels, checkpoint)
+    # Convergence detector: labels only ever DECREASE, so any change
+    # strictly lowers sum(comp). Aggregate in decimal(38,0) — a LongType
+    # sum wraps silently (non-ANSI) and at 10^9 nodes with 60-bit ids a
+    # wrap collision could terminate the loop early.
+    comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(comp_sum).collect()[0][0]
+    for i in range(max_iter):
         # neighbor propagation (one hop along edges) ...
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
@@ -431,17 +480,17 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
         )
-        new_labels = (
+        new_labels = _iter_checkpoint(
             labels.unionByName(msgs)
             .unionByName(jumps)
             .repartition(n_parts, "node")
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        # convergence via the monotone invariant: labels only ever DECREASE,
-        # so any change strictly lowers sum(comp) — one tiny aggregate on
-        # the already-checkpointed frame instead of a join + count
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            .agg(F.min("comp").alias("comp")),
+            checkpoint,
+        )
+        if _round_hook is not None:
+            _round_hook(i, new_labels)
+        new_sum = new_labels.agg(comp_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break

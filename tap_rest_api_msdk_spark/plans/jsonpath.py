@@ -35,7 +35,7 @@ _TOKEN = re.compile(
     | \[\*\]
     | \[(?P<index>-?\d+)\]
     | \[\?\(\s*@\.(?P<ppath>[A-Za-z0-9_.@\-]+)\s*(?P<pop>==|!=|>=|<=|>|<)\s*
-        (?P<pval>'[^']*'|"[^"]*"|-?\d+(?:\.\d+)?|true|false|null)\s*\)\]
+        (?P<pval>'[^']*'|"[^"]*"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)\s*\)\]
     """,
     re.X,
 )
@@ -59,7 +59,15 @@ def _literal(text: str) -> Any:
         return False
     if text == "null":
         return None
-    return float(text) if "." in text else int(text)
+    try:
+        # int first; exponent forms like 1e5 (valid jsonpath_ng literals)
+        # are not int()-parseable — fall through to float
+        return float(text) if "." in text else int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            raise ValueError(f"unsupported jsonpath syntax: literal {text!r}")
 
 
 def _dotted_get(obj: Any, parts: List[str]) -> Any:

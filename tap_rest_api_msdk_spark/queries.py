@@ -412,7 +412,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = ivf_topk_portable(emb, queries, k=10, n_centroids=16, n_probe=6)
+    out = ivf_topk_portable(emb, queries, k=10, n_centroids=None, n_probe=6)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -429,7 +429,7 @@ def q_semantic_dedup(spark, sf_dir):
     from tap_rest_api_msdk_spark.functions.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, n_centroids=16, threshold=0.4)
+    out = semantic_dedup(emb, n_centroids=None, threshold=0.4)
     return out.select(F.col("label").cast("long").alias("label"), "n_vecs", "n_kept")
 
 

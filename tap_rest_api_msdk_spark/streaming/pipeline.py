@@ -75,6 +75,54 @@ class PipelineConfig:
     malformed_policy: str = "keep"
 
 
+def infer_json_schema_full(
+    payloads: DataFrame,
+    spill_dir: str,
+    attempts: Sequence[str] = ("jvm", "rdd", "spill"),
+) -> T.StructType:
+    """Whole-batch JSON payload schema inference over a one-column
+    ``value: string`` frame, trying in order:
+
+    - ``jvm``: the Scala ``DataFrameReader.json(Dataset[String])`` overload
+      via py4j — plan-only, no row crosses into Python (the fast path on
+      classic sessions).
+    - ``rdd``: ``spark.read.json(payloads.rdd.map(...))`` — classic
+      sessions where the JVM handle is unavailable.
+    - ``spill``: write the payloads as text under ``spill_dir`` and
+      ``read.json`` the files — the only API shape Spark Connect supports
+      (Connect has neither ``_jvm`` nor RDDs). ``spill_dir`` should sit on
+      the lake table's storage, which is shared on a real cluster by
+      construction; it is removed afterwards.
+
+    ``attempts`` is exposed so tests can pin a specific path.
+    """
+    spark_ = payloads.sparkSession
+    # null payloads carry no schema, and the RDD/JVM json readers would
+    # surface them as a _corrupt_record column — drop them for every path
+    payloads = payloads.filter(F.col("value").isNotNull())
+    last_err: Exception | None = None
+    for attempt in attempts:
+        try:
+            if attempt == "jvm":
+                jvm = spark_._jvm
+                jds = getattr(payloads._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+                jschema = spark_._jsparkSession.read().json(jds).schema()
+                return T._parse_datatype_json_string(jschema.json())
+            if attempt == "rdd":
+                return spark_.read.json(payloads.rdd.map(lambda r: r[0])).schema
+            if attempt == "spill":
+                payloads.filter(F.col("value").isNotNull()).write.mode("overwrite").text(spill_dir)
+                try:
+                    return spark_.read.json(spill_dir).schema
+                finally:
+                    import shutil
+
+                    shutil.rmtree(spill_dir, ignore_errors=True)
+        except Exception as e:  # try the next, less-capable API shape
+            last_err = e
+    raise RuntimeError(f"all schema-inference paths failed ({attempts})") from last_err
+
+
 def prepare_batch(df: DataFrame, conf: PipelineConfig, bookmark: Any) -> DataFrame:
     """bookmark filter -> flatten: the record-shaping stage (F10 + F1)."""
     out = incremental_filter(df, conf.replication_key, bookmark)
@@ -149,21 +197,9 @@ def process_batch(
         # the reference's no-discovery path; only discovered schemas track
         # drift across batches
         def _infer_full():
-            """Whole-batch payload schema inference, JVM-NATIVE: the Scala
-            ``DataFrameReader.json(Dataset[String])`` overload infers over
-            the string column without a Python RDD round-trip (the py4j
-            call is plan-only — no row crosses into Python). Falls back to
-            the RDD path only if the JVM handle is unavailable (e.g. Spark
-            Connect)."""
-            spark_ = raw.sparkSession
             payloads = raw.select(F.col(conf.payload_col).cast("string").alias("value"))
-            try:
-                jvm = spark_._jvm
-                jds = getattr(payloads._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
-                jschema = spark_._jsparkSession.read().json(jds).schema()
-                return T._parse_datatype_json_string(jschema.json())
-            except Exception:
-                return spark_.read.json(payloads.rdd.map(lambda r: r[0])).schema
+            spill = os.path.join(table.path, "_tmp_infer", f"batch_id={batch_id}")
+            return infer_json_schema_full(payloads, spill)
 
         observed = None
         if conf.payload_schema is None or (

@@ -21,9 +21,11 @@ def test_unknown_method_raises_reference_error():
         resolve_streams(_cfg(auth_method="bogus"))
 
 
-def test_no_auth_method_passes_through():
+def test_no_auth_method_yields_no_authenticator():
+    # reference parity (ADVICE r2): select_authenticator falls through its
+    # elif-chain for "no_auth" and returns no authenticator (auth.py:235-284)
     (s,) = resolve_streams(_cfg(auth_method="no_auth"))
-    assert s.auth == {"auth_method": "no_auth"}
+    assert s.auth is None
 
 
 @pytest.mark.parametrize(
@@ -52,7 +54,10 @@ def test_oauth_valid_client_credentials():
     assert out["grant_type"] == "client_credentials" and out["scope"] == "r"
 
 
-def test_stream_overrides_tap_auth():
+def test_tap_auth_wins_over_stream_auth():
+    # reference parity (ADVICE r2): select_authenticator reads the TAP
+    # config WHOLESALE whenever it is present (auth.py:220-223) — the
+    # stream-level auth keys only apply when the tap carries none
     cfg = {
         "auth_method": "bearer_token",
         "bearer_token": "tok-top",
@@ -63,6 +68,16 @@ def test_stream_overrides_tap_auth():
     }
     a, b = resolve_streams(cfg)
     assert a.auth["auth_method"] == "bearer_token"
+    assert b.auth["auth_method"] == "bearer_token" and "username" not in b.auth
+
+
+def test_stream_auth_applies_when_tap_has_none():
+    cfg = {
+        "streams": [
+            {"name": "b", "auth_method": "basic", "username": "u", "password": "p"},
+        ],
+    }
+    (b,) = resolve_streams(cfg)
     assert b.auth["auth_method"] == "basic" and b.auth["username"] == "u"
 
 
