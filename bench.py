@@ -34,6 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WAL_EVENTS = int(os.environ.get("BENCH_WAL_EVENTS", "4000000"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") == "1"
+RUN_STEADY = os.environ.get("BENCH_STEADY", "1") == "1"
 
 # the r1 17-query set: its subtotal is emitted as shared_set_seconds every
 # round so cross-round comparisons are one number even as the suite grows
@@ -213,6 +214,51 @@ def main() -> None:
                     "scaling_pair": "local[2] -> local[8] (N -> 4N cores)",
                 }
             )
+        if RUN_STEADY:
+            # steady-state CDC (the north rule's actual regime): many small
+            # batches into a big table — compares the three sink modes on
+            # one shape in ONE run, so the cow_incremental-vs-cow ratio is
+            # self-contained (host noise cancels)
+            from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+            from tap_rest_api_msdk_spark.streaming.pipeline import (
+                PipelineConfig,
+                process_batch,
+            )
+            from pyspark.sql import functions as F
+
+            s = make_session(CPUS)
+            # the r2 verdict's exact shape: bootstrap all but the tail of
+            # the (already synthesized) 4M shredded WAL, then 10 x 50k
+            # batches into the resulting ~1.2M-key table
+            n_tail = min(500_000, WAL_EVENTS // 8)
+            batch_sz = max(1, n_tail // 10)
+            n_boot = WAL_EVENTS - n_tail
+            swal = s.read.parquet(wal_shred_path)
+            sschema = swal.schema["payload"].dataType
+            steady = {}
+            for mode in ("cow", "cow_incremental", "mor"):
+                tpath = os.path.join(base, f"steady_{mode}")
+                table = LakeTable(s, tpath, num_buckets=64)
+                conf = PipelineConfig(
+                    stream="st", payload_col="payload", payload_schema=sschema,
+                    num_buckets=64, sink_mode="cow",
+                )
+                process_batch(table, conf, swal.filter(F.col("seq") <= n_boot), 0)
+                conf.sink_mode = mode
+                t0 = time.time()
+                for i in range(n_tail // batch_sz):
+                    lo = n_boot + i * batch_sz
+                    b = swal.filter((F.col("seq") > lo) & (F.col("seq") <= lo + batch_sz))
+                    process_batch(table, conf, b, i + 1)
+                steady[f"events_per_sec_{mode}"] = round(n_tail / (time.time() - t0))
+            steady["events"] = n_tail
+            steady["batches"] = n_tail // batch_sz
+            steady["incremental_vs_cow"] = round(
+                steady["events_per_sec_cow_incremental"] / steady["events_per_sec_cow"], 2
+            )
+            s.stop()
+            result["steady_state_cdc"] = steady
+
         result.update(
             {
                 "value": round(sum(queries_sec.values()) + t_hi, 3),

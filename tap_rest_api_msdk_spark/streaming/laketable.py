@@ -27,9 +27,15 @@ can swap for ``MERGE INTO`` with zero pipeline changes:
   nullable, int->double widening, never narrow); old files are read with
   missing columns as nulls.
 
-Single-writer assumption: one streaming query owns a table (the reference
-equally runs one tap process per config; Singer parallelism is per-stream,
-tap.py:454-553).
+Multi-writer: commits are optimistic-concurrency CAS on the manifest
+version (exclusive create of ``manifests/v{N}.json``). Lost races rebase
+metadata when the intervening commits touched disjoint buckets (MOR delta
+appends always rebase) and recompute otherwise; the idempotence ledger is
+per ``writer_id``. One streaming query per (table, writer_id) remains the
+deployment norm (the reference equally runs one tap process per config;
+Singer parallelism is per-stream, tap.py:454-553) — the CAS protocol makes
+concurrent writers safe, not free: conflicting-bucket COW writers serialize
+through recomputes.
 """
 
 from __future__ import annotations
@@ -47,6 +53,12 @@ from pyspark.sql import types as T
 from tap_rest_api_msdk_spark.functions.infer import merge_schemas
 
 LATEST_POINTER = "_latest.json"
+
+# max intra-bucket slice depth: the key-slice is ALWAYS computed as
+# xxhash64(keys, '__salt__') mod SLICE_MOD; a commit writing S = 2^j slices
+# uses (slice mod S), and because S | SLICE_MOD the residues nest across
+# commits with different S (DESIGN_hierarchical_bucketing.md)
+SLICE_MOD = 64
 
 
 def mm3_hash_int(value: int, seed: int = 42) -> int:
@@ -88,6 +100,13 @@ def bucket_salt_to_partition(bucket: int, salt: int, num_partitions: int) -> int
     return mm3_hash_int(salt, mm3_hash_int(bucket, 42)) % num_partitions
 
 
+_MANIFEST_CORE_KEYS = frozenset({
+    "version", "batch_id", "batch_ids", "committed_at", "schema", "files",
+    "deltas", "slice_meta", "bookmarks", "num_buckets", "keys", "order_by",
+    "op_col", "fold_round",
+})
+
+
 class LakeTable:
     """A bucketed, manifest-committed Parquet lake table with MERGE-upsert."""
 
@@ -101,6 +120,13 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.num_buckets = num_buckets
+        # cow_incremental: a granule folds every ``fold_every`` batches
+        # (staggered round-robin), trading write amplification O(table/k)
+        # against read amplification <= ~2k delta files per granule; 10
+        # matches the usual lakehouse delta-commits-per-compaction trigger
+        # (measured sweep in BENCH/BASELINE.md: k=4/8/16 -> 1.9/2.0/2.7x
+        # steady-state COW throughput on the 10x50k shape)
+        self.fold_every = 10
         # merge shuffle width is DECOUPLED from the bucket count: each
         # bucket may be written as up to ``files_per_bucket`` files, split
         # by a key-salt, so a 16-bucket table still merges with cores-scale
@@ -121,11 +147,22 @@ class LakeTable:
     def _fpb(self, n_affected: int) -> int:
         """Files (salt slices) per bucket for this commit: auto mode spreads
         the merge across ~defaultParallelism tasks regardless of how few
-        buckets a batch touches; capped so tiny tables don't fragment."""
+        buckets a batch touches; capped so tiny tables don't fragment.
+
+        Always a POWER OF TWO (see DESIGN_hierarchical_bucketing.md): the
+        slice of a key is slice64 = xxhash64(keys) mod 64, and a commit at
+        S slices uses slice64 mod S — residues NEST across commits with
+        different S only when S | 64, which is what makes (bucket, slice)-
+        granular rewrites possible at all."""
         if self.files_per_bucket is not None:
-            return max(1, self.files_per_bucket)
-        cores = self.spark.sparkContext.defaultParallelism
-        return max(1, min(8, -(-cores // max(1, n_affected))))
+            want = max(1, self.files_per_bucket)
+        else:
+            cores = self.spark.sparkContext.defaultParallelism
+            want = max(1, min(8, -(-cores // max(1, n_affected))))
+        p = 1
+        while p < want:
+            p *= 2
+        return min(p, SLICE_MOD)
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -134,6 +171,25 @@ class LakeTable:
         return os.path.join(self.path, LATEST_POINTER)
 
     def current_manifest(self) -> Optional[dict]:
+        """Highest committed snapshot. Source of truth is the manifests/
+        directory (each version file is the atomic commit point under the
+        multi-writer CAS protocol); ``_latest.json`` is only a best-effort
+        cache. Unparseable top files (a crashed legacy writer's partial
+        write) are skipped downward."""
+        mdir = os.path.join(self.path, "manifests")
+        try:
+            names = sorted(
+                (n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")),
+                reverse=True,
+            )
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            try:
+                with open(os.path.join(mdir, name)) as fh:
+                    return json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue
         try:
             with open(self._pointer_path()) as fh:
                 return json.load(fh)
@@ -150,21 +206,56 @@ class LakeTable:
         except FileNotFoundError:
             return None
 
-    def _publish(self, manifest: dict) -> None:
-        """Write manifest then atomically swing the pointer (POSIX rename)."""
+    def _publish(self, manifest: dict) -> bool:
+        """Compare-and-swap commit of one snapshot version.
+
+        The commit point is the EXCLUSIVE creation of
+        ``manifests/v{N}.json`` (write a temp file, then ``os.link`` it to
+        the version name — link fails atomically if the version already
+        exists). Two concurrent writers racing for the same version: one
+        wins, the other gets False and must rebase or recompute against
+        the new current snapshot. On an object store this maps to
+        put-if-absent / Iceberg's pointer CAS. ``_latest.json`` is swung
+        afterwards as a best-effort read cache only.
+
+        Returns True iff this call committed the version.
+        """
         version = manifest["version"]
         mpath = os.path.join(self.path, "manifests", f"v{version:010d}.json")
-        with open(mpath, "w") as fh:
-            json.dump(manifest, fh)
-        tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, self._pointer_path())  # atomic commit point
+        try:
+            os.link(tmp, mpath)  # atomic create-if-absent = the CAS
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        ptmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(ptmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(ptmp, self._pointer_path())
+        return True
+
+    @staticmethod
+    def _ledger(m: Optional[dict]) -> dict:
+        """Per-writer idempotent batch-id ledger. Multi-writer tables key
+        commits by writer id; legacy single-writer manifests carried one
+        global ``batch_id`` (mapped to writer 'default')."""
+        if m is None:
+            return {}
+        if "batch_ids" in m:
+            return dict(m["batch_ids"])
+        return {"default": m.get("batch_id", -1)}
+
+    def last_batch_id_for(self, writer_id: str = "default") -> int:
+        return int(self._ledger(self.current_manifest()).get(writer_id, -1))
 
     @property
     def last_committed_batch_id(self) -> int:
-        m = self.current_manifest()
-        return -1 if m is None else m.get("batch_id", -1)
+        return self.last_batch_id_for("default")
 
     def bookmarks(self) -> dict:
         m = self.current_manifest()
@@ -281,6 +372,60 @@ class LakeTable:
     def _bucket_col(self, keys: Sequence[str]):
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)).cast("int")
 
+    @staticmethod
+    def _files_and_meta(affected, S, k_parts, by_index):
+        """Per-bucket (file list, slice metadata) for one write job.
+
+        Metadata entry per (bucket, file basename): ``[S, [residues...]]``
+        — the salt residues (at depth S) of this bucket that landed in the
+        file (several when partition indices collide). This is the
+        bookkeeping that makes (bucket, slice)-granular rewrites possible:
+        a key with slice64 σ lives in the file iff σ mod S ∈ residues."""
+        files: dict[str, list] = {}
+        meta: dict[str, dict] = {}
+        for b in affected:
+            residues_by_file: dict[str, list] = {}
+            for s in range(S):
+                p = bucket_salt_to_partition(b, s, k_parts)
+                if p in by_index:
+                    residues_by_file.setdefault(by_index[p], []).append(s)
+            files[str(b)] = sorted(residues_by_file)
+            meta[str(b)] = {
+                os.path.basename(f): [S, sorted(rs)]
+                for f, rs in residues_by_file.items()
+            }
+        return files, meta
+
+    @staticmethod
+    def _buckets_touched(old: Optional[dict], new: Optional[dict]) -> set:
+        """Bucket ids whose file or delta lists differ between two
+        manifests — the conflict footprint of the commits between them."""
+        touched = set()
+        for section in ("files", "deltas"):
+            o = (old or {}).get(section, {})
+            n = (new or {}).get(section, {})
+            for b in set(o) | set(n):
+                if o.get(b, []) != n.get(b, []):
+                    touched.add(int(b))
+        return touched
+
+    def _try_commit(self, base_m: Optional[dict], assemble) -> Optional[dict]:
+        """Optimistic-concurrency commit loop: ``assemble(cur_manifest)``
+        builds the next manifest on top of the CURRENT snapshot (returning
+        None when the caller's data files are stale against it and the
+        whole operation must recompute). CAS-publish; on a lost race,
+        re-read and re-assemble (metadata rebase) — the Iceberg commit
+        protocol."""
+        cur = base_m
+        while True:
+            manifest = assemble(cur)
+            if manifest is None:
+                return None
+            manifest["version"] = (cur["version"] + 1) if cur else 0
+            if self._publish(manifest):
+                return manifest
+            cur = self.current_manifest()
+
     def merge_upsert(
         self,
         batch_df: DataFrame,
@@ -292,6 +437,7 @@ class LakeTable:
         extra_manifest: Optional[dict] = None,
         affected_buckets: Optional[Sequence[int]] = None,
         mode: str = "cow",
+        writer_id: str = "default",
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
 
@@ -314,10 +460,63 @@ class LakeTable:
           This is the steady-state streaming-CDC write path (Hudi/Iceberg
           MOR equivalent); both modes share semantics and the batch-id
           ledger, and may be mixed batch-by-batch.
+
+        Multi-writer: commits CAS the manifest version (``_publish``);
+        the idempotence ledger is per ``writer_id``. A lost race rebases
+        metadata when the intervening commits touched disjoint buckets
+        (MOR deltas always rebase), and recomputes the merge from the
+        fresh snapshot otherwise — no committed work is ever lost.
         """
+        import random
+
+        for _attempt in range(8):
+            # liveness under sustained contention: after 3 lost COW
+            # recomputes, degrade THIS commit to a MOR delta append — it
+            # always rebases (no bucket conflict possible), reaches the
+            # same LWW fixpoint, and compact()/read_state resolve it; the
+            # alternative is starving a small writer behind a big one
+            eff_mode = mode if (mode != "cow" or _attempt < 3) else "mor"
+            out = self._merge_upsert_once(
+                batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
+                extra_manifest, affected_buckets, eff_mode, writer_id,
+            )
+            if out is not None:
+                if eff_mode != mode:
+                    out["degraded_to_mor"] = True
+                return out
+            time.sleep(random.uniform(0, 0.05 * (2 ** min(_attempt, 5))))
+        raise RuntimeError(
+            f"merge_upsert(batch_id={batch_id}) lost the commit race 8 times; "
+            "a concurrent writer is evolving the schema incompatibly"
+        )
+
+    def _merge_upsert_once(
+        self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
+        extra_manifest, affected_buckets, mode, writer_id,
+    ) -> Optional[dict]:
+        """One optimistic attempt: compute + write data files against the
+        current snapshot, then CAS-commit. Returns None when a concurrent
+        commit invalidated the data files (conflicting buckets) — the
+        caller recomputes from the fresh snapshot."""
         m = self.current_manifest()
-        if batch_id <= (m["batch_id"] if m else -1):
+        if batch_id <= int(self._ledger(m).get(writer_id, -1)):
             return {"skipped": True, "batch_id": batch_id}
+        if m is not None:
+            # keys/order_by/op_col are TABLE properties (like num_buckets):
+            # a second writer with different merge semantics would corrupt
+            # LWW resolution for every other writer — refuse mismatches,
+            # and inherit op_col so a caller omitting it cannot clobber
+            # tombstone filtering (a delete-resurrection bug found live)
+            if m.get("keys") and list(keys) != list(m["keys"]):
+                raise ValueError(f"merge keys {list(keys)} != table keys {m['keys']}")
+            if m.get("order_by") and list(order_by) != list(m["order_by"]):
+                raise ValueError(
+                    f"order_by {list(order_by)} != table order_by {m['order_by']}"
+                )
+            if op_col is None:
+                op_col = m.get("op_col")
+            elif m.get("op_col") is not None and op_col != m["op_col"]:
+                raise ValueError(f"op_col {op_col!r} != table op_col {m['op_col']!r}")
 
         t0 = time.time()
         # --- schema evolution (driver-side, metadata only)
@@ -364,11 +563,20 @@ class LakeTable:
         else:
             affected = [int(r[0]) for r in batch.select("__bucket").distinct().collect()]
 
-        if mode == "mor":
-            return self._append_delta(
+        if mode in ("mor", "cow_incremental"):
+            out = self._append_delta(
                 batch, keys, order_by, batch_id, op_col, affected,
-                new_schema, m, bookmark_updates, extra_manifest, t0,
+                new_schema, m, bookmark_updates, extra_manifest, t0, writer_id,
             )
+            if out is not None and mode == "cow_incremental":
+                # hierarchical granular COW: the delta commit above is the
+                # O(batch) write; now fold the granules due this round —
+                # amortized O(table/fold_every) instead of O(table) per
+                # batch (DESIGN_hierarchical_bucketing.md). A fold that
+                # loses its CAS is simply deferred to the next round.
+                out["fold"] = self.fold_due()
+                out["mode"] = "cow_incremental"
+            return out
 
         if m:
             existing = self.read(buckets=affected).drop("__bucket")
@@ -417,7 +625,10 @@ class LakeTable:
 
         # --- write new files for affected buckets only (copy-on-write)
         epoch = (m["version"] + 1) if m else 0
-        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        # unique per write job: concurrent writers must never share a
+        # physical directory (mode="overwrite" would eat each other's
+        # files); the manifest, not the dir name, defines the snapshot
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(out_dir)
 
         # map buckets -> written files via HashPartitioning's assignment
@@ -426,39 +637,69 @@ class LakeTable:
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
-        files = dict(m["files"]) if m else {}
-        deltas = dict(m.get("deltas", {})) if m else {}
-        for b in affected:
-            fset = {
-                by_index[p]
-                for s in range(S)
-                if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
+        our_files, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
+
+        def assemble(cur: Optional[dict]) -> Optional[dict]:
+            if cur is not m:
+                # lost the CAS: our rewritten bucket files embody the OLD
+                # base — they stay valid iff no intervening commit touched
+                # any of our buckets (and key types didn't drift); else the
+                # whole merge recomputes against the fresh snapshot
+                if self._buckets_touched(m, cur) & set(affected):
+                    return None
+                cur_schema = (
+                    T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
+                )
+                try:
+                    final_schema = (
+                        merge_schemas(cur_schema, new_schema) if cur_schema else new_schema
+                    )
+                except Exception:
+                    return None
+                if cur_schema is not None:
+                    ct = {f.name: f.dataType for f in cur_schema.fields}
+                    ft = {f.name: f.dataType for f in final_schema.fields}
+                    for k in keys:
+                        if k in ct and ct[k] != ft.get(k, ct[k]):
+                            return None
+            else:
+                final_schema = new_schema
+            files = dict(cur["files"]) if cur else {}
+            deltas = dict(cur.get("deltas", {})) if cur else {}
+            slice_meta = dict(cur.get("slice_meta", {})) if cur else {}
+            files.update(our_files)
+            slice_meta.update(our_meta)
+            for b in affected:
+                deltas.pop(str(b), None)  # folded into the new base
+            bookmarks = dict(cur.get("bookmarks", {})) if cur else {}
+            bookmarks.update(bookmark_updates or {})
+            return {
+                # carry foreign extra keys (another writer's custom fields)
+                # through rebases; ours overlay below
+                **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
+                "batch_id": batch_id,
+                "batch_ids": {**self._ledger(cur), writer_id: batch_id},
+                "committed_at": time.time(),
+                "schema": final_schema.jsonValue(),
+                "files": files,
+                "deltas": deltas,
+                "slice_meta": slice_meta,
+                "bookmarks": bookmarks,
+                "num_buckets": self.num_buckets,
+                "keys": list(keys),
+                "order_by": list(order_by),
+                "op_col": op_col,
+                "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
+                **(extra_manifest or {}),
             }
-            files[str(b)] = sorted(fset)
-            deltas.pop(str(b), None)  # folded into the new base
 
-        bookmarks = dict(m.get("bookmarks", {})) if m else {}
-        bookmarks.update(bookmark_updates or {})
-
-        manifest = {
-            "version": epoch,
-            "batch_id": batch_id,
-            "committed_at": time.time(),
-            "schema": new_schema.jsonValue(),
-            "files": files,
-            "deltas": deltas,
-            "bookmarks": bookmarks,
-            "num_buckets": self.num_buckets,
-            "keys": list(keys),
-            "order_by": list(order_by),
-            "op_col": op_col,
-            **(extra_manifest or {}),
-        }
-        self._publish(manifest)
+        committed = self._try_commit(m, assemble)
+        if committed is None:
+            return None  # conflicting buckets: caller recomputes
         return {
             "skipped": False,
             "batch_id": batch_id,
-            "version": epoch,
+            "version": committed["version"],
             "affected_buckets": len(affected),
             "merge_seconds": time.time() - t0,
         }
@@ -466,12 +707,17 @@ class LakeTable:
     def _append_delta(
         self, batch, keys, order_by, batch_id, op_col, affected,
         new_schema, m, bookmark_updates, extra_manifest, t0,
+        writer_id: str = "default",
     ) -> dict:
         """MOR write: within-batch LWW winners appended as delta files.
 
         Never reads the base — write cost is O(batch). The within-batch
         LWW is the map-side-combined aggregate (operators/dedup.lww_dedup),
         so duplicate-heavy batches shuffle pre-combined rows only.
+
+        Multi-writer: delta files are independent of the base snapshot, so
+        a lost CAS always rebases (append our entries onto the fresh
+        manifest) — MOR appends never recompute.
         """
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 
@@ -482,7 +728,10 @@ class LakeTable:
             F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
         ).cast("int")
         epoch = (m["version"] + 1) if m else 0
-        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        # unique per write job: concurrent writers must never share a
+        # physical directory (mode="overwrite" would eat each other's
+        # files); the manifest, not the dir name, defines the snapshot
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}")
         (
             winners.withColumn("__salt", salt)
             .repartition(k_parts, "__bucket", "__salt")
@@ -496,42 +745,252 @@ class LakeTable:
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
-        deltas = dict(m.get("deltas", {})) if m else {}
-        for b in affected:
-            fset = {
-                by_index[p]
-                for s in range(S)
-                if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
-            }
-            for f in sorted(fset):
-                deltas.setdefault(str(b), [])
-                if f not in deltas[str(b)]:
-                    deltas[str(b)] = deltas[str(b)] + [f]
+        our_deltas, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
 
-        bookmarks = dict(m.get("bookmarks", {})) if m else {}
-        bookmarks.update(bookmark_updates or {})
-        manifest = {
-            "version": epoch,
-            "batch_id": batch_id,
-            "committed_at": time.time(),
-            "schema": new_schema.jsonValue(),
-            "files": dict(m["files"]) if m else {},
-            "deltas": deltas,
-            "bookmarks": bookmarks,
-            "num_buckets": self.num_buckets,
-            "keys": list(keys),
-            "order_by": list(order_by),
-            "op_col": op_col,
-            **(extra_manifest or {}),
-        }
-        self._publish(manifest)
+        def assemble(cur: Optional[dict]) -> Optional[dict]:
+            cur_schema = (
+                T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
+            )
+            try:
+                final_schema = (
+                    merge_schemas(cur_schema, new_schema)
+                    if (cur is not m and cur_schema is not None)
+                    else new_schema
+                )
+            except Exception:
+                return None
+            deltas = dict(cur.get("deltas", {})) if cur else {}
+            slice_meta = dict(cur.get("slice_meta", {})) if cur else {}
+            for b_str, flist in our_deltas.items():
+                have = deltas.get(b_str, [])
+                deltas[b_str] = have + [f for f in flist if f not in have]
+                slice_meta[b_str] = {**slice_meta.get(b_str, {}), **our_meta[b_str]}
+            bookmarks = dict(cur.get("bookmarks", {})) if cur else {}
+            bookmarks.update(bookmark_updates or {})
+            return {
+                # carry foreign extra keys (another writer's custom fields)
+                # through rebases; ours overlay below
+                **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
+                "batch_id": batch_id,
+                "batch_ids": {**self._ledger(cur), writer_id: batch_id},
+                "committed_at": time.time(),
+                "schema": final_schema.jsonValue(),
+                "files": dict(cur["files"]) if cur else {},
+                "deltas": deltas,
+                "slice_meta": slice_meta,
+                "bookmarks": bookmarks,
+                "num_buckets": self.num_buckets,
+                "keys": list(keys),
+                "order_by": list(order_by),
+                "op_col": op_col,
+                "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
+                **(extra_manifest or {}),
+            }
+
+        committed = self._try_commit(m, assemble)
+        if committed is None:
+            return None
         return {
             "skipped": False,
             "batch_id": batch_id,
-            "version": epoch,
+            "version": committed["version"],
             "mode": "mor",
             "affected_buckets": len(affected),
             "merge_seconds": time.time() - t0,
+        }
+
+    # ------------------------------------------------------------------
+    # hierarchical granular fold (DESIGN_hierarchical_bucketing.md)
+    # ------------------------------------------------------------------
+    def _bucket_granule_plan(self, m: dict, b_str: str, round_: int, k: int):
+        """Fold plan for one bucket: (S_b, due residues, base files, delta
+        files) — or None when nothing is due.
+
+        Granule depth S_b = min slice depth across the bucket's files
+        (power-of-two residues nest, so min-depth granules PARTITION the
+        bucket's files; a file without metadata — legacy commits — counts
+        as depth 1, degrading that bucket to whole-bucket folds, the
+        pre-round-3 behavior). Due = staggered round-robin
+        ((b*131+r) % k == round_ % k) plus a pressure valve on granules
+        whose delta chain reached 2k files. Closure: a file spanning a due
+        and a non-due granule (partition-index collisions) drags the other
+        granule in, so folds always consume whole files."""
+        b = int(b_str)
+        dfiles = m.get("deltas", {}).get(b_str, [])
+        if not dfiles:
+            return None
+        base_files = m.get("files", {}).get(b_str, [])
+        bmeta = m.get("slice_meta", {}).get(b_str, {})
+        all_files = list(base_files) + list(dfiles)
+
+        def depth(f):
+            ent = bmeta.get(os.path.basename(f))
+            return int(ent[0]) if ent else 1
+
+        S_b = min((depth(f) for f in all_files), default=1)
+
+        def residues(f):
+            ent = bmeta.get(os.path.basename(f))
+            if not ent:
+                return set(range(S_b))  # legacy file: spans the bucket
+            return {int(r) % S_b for r in ent[1]}
+
+        delta_count = {r: 0 for r in range(S_b)}
+        for f in dfiles:
+            for r in residues(f):
+                delta_count[r] += 1
+        due = {
+            r
+            for r in range(S_b)
+            if (b * 131 + r) % k == round_ % k or delta_count[r] >= 2 * k
+        }
+        due = {r for r in due if delta_count[r] > 0}
+        if not due:
+            return None
+        while True:  # whole-file closure
+            pulled = set()
+            for f in all_files:
+                rs = residues(f)
+                if rs & due:
+                    pulled |= rs
+            if pulled <= due:
+                break
+            due |= pulled
+        base_sel = [f for f in base_files if residues(f) & due]
+        delta_sel = [f for f in dfiles if residues(f) & due]
+        return S_b, sorted(due), base_sel, delta_sel
+
+    def fold_due(self, k_fold: Optional[int] = None) -> dict:
+        """Fold the delta chains of the granules due this round into fresh
+        base files — the staggered, (bucket, slice)-granular half of
+        ``mode="cow_incremental"``. One LWW merge job over ONLY the due
+        granules' files (bucket- and slice-pruned scan), one shuffle, one
+        atomic commit. Returns fold stats ({"skipped": True} when nothing
+        is due or a concurrent commit invalidated the fold)."""
+        m = self.current_manifest()
+        if m is None or not m.get("deltas"):
+            return {"skipped": True}
+        k = max(1, k_fold or self.fold_every)
+        round_ = int(m.get("fold_round", 0))
+        t0 = time.time()
+
+        plans = {}
+        for b_str in list(m["deltas"]):
+            plan = self._bucket_granule_plan(m, b_str, round_, k)
+            if plan is not None:
+                plans[b_str] = plan
+        if not plans:
+            # still advance the round so the stagger rotates past empty
+            # rounds (otherwise a quiet table sticks on one residue class)
+            def bump(cur):
+                if cur is None or cur["version"] != m["version"]:
+                    return None
+                return {**m, "fold_round": round_ + 1, "committed_at": time.time()}
+
+            self._try_commit(m, bump)
+            return {"skipped": True, "reason": "no granules due"}
+
+        # ---- read exactly the due granules' rows (ownership per file+bucket)
+        schema = T.StructType.fromJson(m["schema"])
+        stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
+        files_needed: set[str] = set()
+        pairs: list[tuple[str, int]] = []
+        for b_str, (S_b, due, base_sel, delta_sel) in plans.items():
+            for f in base_sel + delta_sel:
+                files_needed.add(f)
+                pairs.append((os.path.basename(f), int(b_str)))
+        df = self.spark.read.schema(stored).parquet(*sorted(files_needed))
+        lookup = self.spark.createDataFrame(
+            sorted(set(pairs)), "__file string, __owned_bucket int"
+        )
+        df = df.withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        df = df.join(
+            F.broadcast(lookup),
+            (df["__file"] == lookup["__file"]) & (df["__bucket"] == lookup["__owned_bucket"]),
+            "leftsemi",
+        ).drop("__file")
+
+        # ---- one single-exchange LWW merge, salted at the fold depth
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        S_w = max(max(p[0] for p in plans.values()), self._fpb(len(plans)))
+        k_parts = max(1, len(plans) * S_w)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in keys], F.lit("__salt__")), F.lit(S_w)
+        ).cast("int")
+        from pyspark.sql import Window
+
+        rep = df.withColumn("__salt", salt).repartition(k_parts, "__bucket", "__salt")
+        w = Window.partitionBy("__bucket", "__salt").orderBy(
+            *[F.col(c).asc() for c in keys], *[F.col(o).desc() for o in order_by]
+        )
+        key_changed = F.lit(False)
+        for c in keys:
+            lagged = F.lag(F.col(c)).over(w)
+            key_changed = key_changed | lagged.isNull() | (lagged != F.col(c))
+        merged = rep.withColumn("__first", key_changed).filter(F.col("__first")).drop(
+            "__first", "__salt"
+        )
+
+        epoch = m["version"] + 1
+        out_dir = os.path.join(
+            self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(out_dir)
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        new_files, new_meta = self._files_and_meta(
+            [int(b) for b in plans], S_w, k_parts, by_index
+        )
+
+        def assemble(cur: Optional[dict]) -> Optional[dict]:
+            if cur is None:
+                return None
+            if cur is not m:
+                # the fold's output embodies (base ∪ consumed deltas) as of
+                # m: valid iff every fold bucket's base is unchanged and
+                # the consumed delta files are all still pending
+                for b_str, (S_b, due, base_sel, delta_sel) in plans.items():
+                    if cur.get("files", {}).get(b_str, []) != m.get("files", {}).get(b_str, []):
+                        return None
+                    if not set(delta_sel) <= set(cur.get("deltas", {}).get(b_str, [])):
+                        return None
+            files = dict(cur["files"])
+            deltas = dict(cur.get("deltas", {}))
+            slice_meta = dict(cur.get("slice_meta", {}))
+            for b_str, (S_b, due, base_sel, delta_sel) in plans.items():
+                keep_base = [f for f in files.get(b_str, []) if f not in set(base_sel)]
+                files[b_str] = keep_base + new_files[b_str]
+                left = [f for f in deltas.get(b_str, []) if f not in set(delta_sel)]
+                if left:
+                    deltas[b_str] = left
+                else:
+                    deltas.pop(b_str, None)
+                bmeta = dict(slice_meta.get(b_str, {}))
+                for f in base_sel + delta_sel:
+                    # drop meta only for files no longer referenced by b
+                    base_name = os.path.basename(f)
+                    if f not in keep_base and f not in left:
+                        bmeta.pop(base_name, None)
+                slice_meta[b_str] = {**bmeta, **new_meta[b_str]}
+            return {
+                **{k_: v for k_, v in cur.items() if k_ != "version"},
+                "files": files,
+                "deltas": deltas,
+                "slice_meta": slice_meta,
+                "fold_round": int(cur.get("fold_round", round_)) + 1,
+                "committed_at": time.time(),
+            }
+
+        committed = self._try_commit(m, assemble)
+        if committed is None:
+            return {"skipped": True, "reason": "commit contention"}
+        return {
+            "skipped": False,
+            "version": committed["version"],
+            "folded_buckets": len(plans),
+            "fold_seconds": time.time() - t0,
         }
 
     # ------------------------------------------------------------------
@@ -544,8 +1003,19 @@ class LakeTable:
         watermark — the classic log-compaction contract).
 
         Runs as a normal commit (bumps version, keeps batch-id ledger), so
-        readers never see a partial compaction.
+        readers never see a partial compaction. Multi-writer: compaction
+        claims the FULL table state, so any concurrent commit invalidates
+        it — on a lost CAS the whole rewrite recomputes from the fresh
+        snapshot (bounded retries; compaction is maintenance, the writers
+        win ties).
         """
+        for _attempt in range(3):
+            out = self._compact_once(tombstone_watermark)
+            if out is not None:
+                return out
+        return {"skipped": True, "reason": "commit contention (3 attempts)"}
+
+    def _compact_once(self, tombstone_watermark: Optional[int] = None) -> Optional[dict]:
         m = self.current_manifest()
         if m is None:
             return {"skipped": True, "reason": "empty table"}
@@ -557,7 +1027,10 @@ class LakeTable:
                 ~((F.col(op_col) == "delete") & (F.col(rk) <= F.lit(tombstone_watermark)))
             )
         epoch = m["version"] + 1
-        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}")
+        # unique per write job: concurrent writers must never share a
+        # physical directory (mode="overwrite" would eat each other's
+        # files); the manifest, not the dir name, defines the snapshot
+        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}")
         S = self._fpb(self.num_buckets)
         k_parts = max(1, self.num_buckets * S)
         salt = F.pmod(
@@ -574,33 +1047,33 @@ class LakeTable:
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
-        files = {
-            str(b): sorted(
-                {
-                    by_index[p]
-                    for s in range(S)
-                    if (p := bucket_salt_to_partition(b, s, k_parts)) in by_index
-                }
-            )
-            for b in range(self.num_buckets)
-        }
+        files, slice_meta = self._files_and_meta(
+            range(self.num_buckets), S, k_parts, by_index
+        )
         manifest = {
             **m, "version": epoch, "files": files, "deltas": {},
-            "committed_at": time.time(),
+            "slice_meta": slice_meta, "committed_at": time.time(),
         }
-        self._publish(manifest)
+        if not self._publish(manifest):
+            return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 0.0) -> int:
         """Delete data files not referenced by the last ``retain_last``
         manifests (default 1 = current snapshot only). Returns the number
         of files removed. ``retain_last > 1`` keeps that many historical
         snapshots time-travelable after maintenance — the Iceberg
-        expire-snapshots retention contract. Single-writer assumption means
-        no reader can hold an unretained snapshot across this call."""
+        expire-snapshots retention contract.
+
+        Multi-writer: a concurrent writer may have data files on disk that
+        no manifest references YET (written, not committed). Set
+        ``grace_seconds`` so vacuum spares any file younger than that —
+        the Iceberg orphan-file-removal grace window. The default 0 keeps
+        the single-writer behavior (reclaim immediately)."""
         m = self.current_manifest()
         if m is None:
             return 0
+        cutoff = time.time() - grace_seconds
         live: set = set()
         newest = m["version"]
         for v in range(max(0, newest - max(1, retain_last) + 1), newest + 1):
@@ -616,6 +1089,8 @@ class LakeTable:
             for fname in os.listdir(full):
                 fpath = os.path.join(full, fname)
                 if fname.endswith(".parquet") and fpath not in live:
+                    if grace_seconds > 0 and os.path.getmtime(fpath) > cutoff:
+                        continue  # possibly an in-flight writer's file
                     os.remove(fpath)
                     removed += 1
             if not os.listdir(full):

@@ -66,8 +66,12 @@ class PipelineConfig:
     # "mor" appends delta files (O(batch) writes) and resolves at read —
     # the steady-state streaming path. auto_compact_every folds MOR deltas
     # into a new base every N committed batches.
+    # "cow_incremental" (DESIGN_hierarchical_bucketing.md) appends deltas
+    # like MOR then folds the (bucket, slice) granules due this round —
+    # amortized O(table/fold_every) rewrite per batch, delta chains bounded.
     sink_mode: str = "cow"
     auto_compact_every: Optional[int] = None
+    fold_every: Optional[int] = None  # cow_incremental stagger (None = table default)
     # malformed payloads (unparseable JSON -> null struct after from_json):
     # "keep" emits all-null flattened fields (the tap's permissive shape),
     # "drop" filters them, "dlq" additionally lands the raw rows in a
@@ -275,6 +279,8 @@ def process_batch(
 
     shaped = prepare_batch(raw, conf, None)  # bookmark already applied
     batch_rows = sum(r["event_count"] for r in mrows)
+    if conf.fold_every:
+        table.fold_every = conf.fold_every
     stats = table.merge_upsert(
         shaped,
         keys=conf.keys,

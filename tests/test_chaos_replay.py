@@ -59,7 +59,7 @@ def test_chaos_replay_reconverges(spark, wal, tmp_path, seed):
             payload_col="payload",
             payload_schema=ps,
             num_buckets=8,
-            sink_mode=rng.choice(["cow", "mor"]),
+            sink_mode=rng.choice(["cow", "mor", "cow_incremental"]),
         )
         batch = wal_df.filter((F.col("seq") > s) & (F.col("seq") <= e))
         process_batch(table, conf, batch, i)
@@ -103,7 +103,7 @@ def test_chaos_replay_shredded_wal(spark, tmp_path, seed):
     for i, (s, e) in enumerate(slices):
         conf = PipelineConfig(
             stream="chaos", payload_col="payload", num_buckets=8,
-            sink_mode=rng.choice(["cow", "mor"]),
+            sink_mode=rng.choice(["cow", "mor", "cow_incremental"]),
         )
         batch = wal_df.filter((F.col("seq") > s) & (F.col("seq") <= e))
         process_batch(table, conf, batch, i)

@@ -1,0 +1,122 @@
+"""Hierarchical granular COW (mode="cow_incremental",
+DESIGN_hierarchical_bucketing.md): O(batch) delta append + staggered
+(bucket, slice)-granular folds. State must equal the LWW fixpoint at every
+point; delta chains stay bounded; compact() is a no-op on semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, seq long, op string, text string")
+
+
+def _drive(spark, path, n_keys, n_batches, rng, fold_every=4, files_per_bucket=None):
+    t = LakeTable(spark, path, num_buckets=8, files_per_bucket=files_per_bucket)
+    t.fold_every = fold_every
+    truth = {}
+    rows = [(i, 0, "upsert", f"v0-{i}") for i in range(n_keys)]
+    for i, s, o, x in rows:
+        truth[i] = (s, o, x)
+    t.merge_upsert(_mk(spark, rows), keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+    for b in range(1, n_batches + 1):
+        batch = [
+            (i, b, "delete" if rng.random() < 0.1 else "upsert", f"v{b}-{i}")
+            for i in rng.sample(range(int(n_keys * 1.2)), n_keys // 5)
+        ]
+        for i, s, o, x in batch:
+            truth[i] = (s, o, x)
+        out = t.merge_upsert(
+            _mk(spark, batch), keys=["id"], order_by=["seq"], batch_id=b,
+            op_col="op", mode="cow_incremental",
+        )
+        assert out.get("mode") == "cow_incremental" and "fold" in out
+    return t, truth
+
+
+def test_cow_incremental_reconverges_exactly(spark, tmp_path):
+    rng = random.Random(11)
+    t, truth = _drive(spark, str(tmp_path / "t"), 1000, 8, rng)
+    got = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t.to_df(drop_deletes=False).collect()}
+    assert got == truth
+    live = {i for i, (s, o, x) in truth.items() if o != "delete"}
+    assert {r["id"] for r in t.to_df().collect()} == live
+
+
+def test_delta_chains_stay_bounded(spark, tmp_path):
+    """The stagger (k=2) plus the pressure valve must keep every bucket's
+    pending delta chain under ~2k files no matter how many batches run."""
+    rng = random.Random(5)
+    t, truth = _drive(spark, str(tmp_path / "t"), 600, 12, rng, fold_every=2)
+    m = t.current_manifest()
+    chains = {b: len(v) for b, v in m.get("deltas", {}).items()}
+    assert max(chains.values(), default=0) <= 4  # 2 * fold_every
+    got = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t.to_df(drop_deletes=False).collect()}
+    assert got == truth
+
+
+def test_folds_consume_and_compact_is_identity(spark, tmp_path):
+    rng = random.Random(23)
+    t, truth = _drive(spark, str(tmp_path / "t"), 800, 6, rng)
+    before = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t.to_df(drop_deletes=False).collect()}
+    t.compact()
+    after = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t.to_df(drop_deletes=False).collect()}
+    assert before == after == truth
+    assert not t.current_manifest().get("deltas")
+
+
+def test_slice_granular_folds_at_depth(spark, tmp_path):
+    """With files_per_bucket=4 the granule space is (bucket, r@4): folds
+    must rewrite slice-granular file sets, recorded in slice_meta with
+    nested power-of-two residues."""
+    rng = random.Random(31)
+    t, truth = _drive(spark, str(tmp_path / "t"), 1200, 6, rng, files_per_bucket=4)
+    m = t.current_manifest()
+    meta = m.get("slice_meta", {})
+    assert meta, "slice metadata must be recorded"
+    for b, entries in meta.items():
+        for fname, (S, residues) in entries.items():
+            assert S in (1, 2, 4, 8, 16, 32, 64)
+            assert all(0 <= r < S for r in residues)
+    got = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t.to_df(drop_deletes=False).collect()}
+    assert got == truth
+
+
+def test_crash_between_delta_and_fold_reconverges(spark, tmp_path):
+    """Kill after the delta commit but before the fold: a fresh handle
+    replaying the same batch id must skip (ledger) and the fold happens on
+    a later round — state still exact."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, num_buckets=8)
+    rows0 = [(i, 0, "upsert", f"v0-{i}") for i in range(500)]
+    t.merge_upsert(_mk(spark, rows0), keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+
+    # simulate the crash: delta committed, fold never ran
+    rows1 = [(i, 1, "upsert", f"v1-{i}") for i in range(0, 500, 3)]
+    out = t._merge_upsert_once(
+        _mk(spark, rows1), ["id"], ["seq"], 1, "op", None, None, None, "mor", "default"
+    )
+    assert out is not None and not out.get("skipped")
+
+    t2 = LakeTable(spark, path, num_buckets=8)  # restart
+    replay = t2.merge_upsert(
+        _mk(spark, rows1), keys=["id"], order_by=["seq"], batch_id=1,
+        op_col="op", mode="cow_incremental",
+    )
+    assert replay.get("skipped")  # ledger: the delta commit already landed
+    # next batch folds eventually; state is the LWW fixpoint
+    rows2 = [(i, 2, "upsert", f"v2-{i}") for i in range(0, 500, 7)]
+    t2.merge_upsert(_mk(spark, rows2), keys=["id"], order_by=["seq"], batch_id=2,
+                    op_col="op", mode="cow_incremental")
+    truth = {i: (0, "upsert", f"v0-{i}") for i in range(500)}
+    truth.update({i: (1, "upsert", f"v1-{i}") for i in range(0, 500, 3)})
+    truth.update({i: (2, "upsert", f"v2-{i}") for i in range(0, 500, 7)})
+    got = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t2.to_df(drop_deletes=False).collect()}
+    assert got == truth

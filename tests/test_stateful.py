@@ -44,10 +44,30 @@ def test_running_state_across_batches(spark, tmp_path):
     assert diff == 0
 
 
+def _tws_runtime_available() -> bool:
+    """The transformWithStateInPandas python runner needs google.protobuf
+    (state-server message encoding). Probe the DEP, not the failure: when
+    protobuf is present the test must RUN — a runtime error then is a real
+    regression, not a skip."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
 def test_running_state_transform_with_state(spark, tmp_path):
     """Same tracker on the Spark-4 transformWithState API (typed ValueState,
     state-store-backed) — must reach the identical final snapshot."""
     import pytest
+
+    if not _tws_runtime_available():
+        pytest.skip(
+            "transformWithState needs google.protobuf (not in this "
+            "container); the probe flips this test ON the moment the dep "
+            "appears — it is not allowed to skip on runtime errors"
+        )
 
     from tap_rest_api_msdk_spark.streaming.stateful import running_state_stream_tws
 
@@ -60,25 +80,17 @@ def test_running_state_transform_with_state(spark, tmp_path):
         .parquet(str(tmp_path / "wal"))
     )
     out_dir = str(tmp_path / "out")
-    try:
-        q = (
-            running_state_stream_tws(stream)
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out_dir)
-            )
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+    q = (
+        running_state_stream_tws(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out_dir)
         )
-        q.awaitTermination()
-    except Exception as e:
-        if ("TransformWithStateInPySpark" in str(e) or "protobuf" in str(e)
-                or "RocksDB" in str(e)):
-            # this container ships no google.protobuf, which the TWS python
-            # runner requires — the wiring is exercised up to the runner
-            pytest.skip(f"transformWithState runtime unavailable here: {e}")
-        raise
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
     got = spark.read.parquet(out_dir)
     final = got.groupBy("repo", "path").agg(
