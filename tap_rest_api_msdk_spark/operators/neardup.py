@@ -455,8 +455,15 @@ def connected_components(
         .distinct()
         .repartition(n_parts, "a")
     )
+    # seed labels ONE HOP ahead: comp0 = min(node, min neighbor) — the
+    # same groupBy that dedups the node set performs round 1's neighbor-min
+    # for free, so shallow clusters (the near-dup norm) converge a full
+    # iteration earlier; the fixpoint is unchanged (labels only decrease
+    # toward min reachable id)
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("comp"))
     )
     sym = _iter_checkpoint(sym, checkpoint)
     labels = _iter_checkpoint(labels, checkpoint)

@@ -120,12 +120,13 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.num_buckets = num_buckets
-        # cow_incremental: a granule folds every ``fold_every`` batches
-        # (staggered round-robin), trading write amplification O(table/k)
-        # against read amplification <= ~2k delta files per granule; 10
-        # matches the usual lakehouse delta-commits-per-compaction trigger
-        # (measured sweep in BENCH/BASELINE.md: k=4/8/16 -> 1.9/2.0/2.7x
-        # steady-state COW throughput on the 10x50k shape)
+        # cow_incremental: a granule folds when its pending delta chain
+        # reaches ``fold_every`` files (the Hudi NUM_COMMITS compaction
+        # trigger, applied per (bucket, slice) granule) — write
+        # amplification O(table/k) amortized, read amplification <= k
+        # delta files per granule, and cold granules never pay a rewrite;
+        # 10 matches the usual lakehouse delta-commits-per-compaction
+        # default (sweep in BENCH/BASELINE.md)
         self.fold_every = 10
         # merge shuffle width is DECOUPLED from the bucket count: each
         # bucket may be written as up to ``files_per_bucket`` files, split
@@ -802,7 +803,7 @@ class LakeTable:
     # ------------------------------------------------------------------
     # hierarchical granular fold (DESIGN_hierarchical_bucketing.md)
     # ------------------------------------------------------------------
-    def _bucket_granule_plan(self, m: dict, b_str: str, round_: int, k: int):
+    def _bucket_granule_plan(self, m: dict, b_str: str, k: int):
         """Fold plan for one bucket: (S_b, due residues, base files, delta
         files) — or None when nothing is due.
 
@@ -810,10 +811,12 @@ class LakeTable:
         (power-of-two residues nest, so min-depth granules PARTITION the
         bucket's files; a file without metadata — legacy commits — counts
         as depth 1, degrading that bucket to whole-bucket folds, the
-        pre-round-3 behavior). Due = staggered round-robin
-        ((b*131+r) % k == round_ % k) plus a pressure valve on granules
-        whose delta chain reached 2k files. Closure: a file spanning a due
-        and a non-due granule (partition-index collisions) drags the other
+        pre-round-3 behavior). Due = the granule's pending delta chain
+        reached ``fold_every`` files — the Hudi NUM_COMMITS compaction
+        trigger, per granule: hot granules fold often, cold granules
+        never pay a rewrite, and fold JOBS batch up instead of paying
+        fixed job costs every round. Closure: a file spanning a due and a
+        non-due granule (partition-index collisions) drags the other
         granule in, so folds always consume whole files."""
         b = int(b_str)
         dfiles = m.get("deltas", {}).get(b_str, [])
@@ -839,12 +842,7 @@ class LakeTable:
         for f in dfiles:
             for r in residues(f):
                 delta_count[r] += 1
-        due = {
-            r
-            for r in range(S_b)
-            if (b * 131 + r) % k == round_ % k or delta_count[r] >= 2 * k
-        }
-        due = {r for r in due if delta_count[r] > 0}
+        due = {r for r in range(S_b) if delta_count[r] >= k}
         if not due:
             return None
         while True:  # whole-file closure
@@ -876,19 +874,11 @@ class LakeTable:
 
         plans = {}
         for b_str in list(m["deltas"]):
-            plan = self._bucket_granule_plan(m, b_str, round_, k)
+            plan = self._bucket_granule_plan(m, b_str, k)
             if plan is not None:
                 plans[b_str] = plan
         if not plans:
-            # still advance the round so the stagger rotates past empty
-            # rounds (otherwise a quiet table sticks on one residue class)
-            def bump(cur):
-                if cur is None or cur["version"] != m["version"]:
-                    return None
-                return {**m, "fold_round": round_ + 1, "committed_at": time.time()}
-
-            self._try_commit(m, bump)
-            return {"skipped": True, "reason": "no granules due"}
+            return {"skipped": True, "reason": "no granule chain at fold_every yet"}
 
         # ---- read exactly the due granules' rows (ownership per file+bucket)
         schema = T.StructType.fromJson(m["schema"])
@@ -900,15 +890,36 @@ class LakeTable:
                 files_needed.add(f)
                 pairs.append((os.path.basename(f), int(b_str)))
         df = self.spark.read.schema(stored).parquet(*sorted(files_needed))
-        lookup = self.spark.createDataFrame(
-            sorted(set(pairs)), "__file string, __owned_bucket int"
+        # ownership fast path (driver-side, metadata only): if every
+        # selected file's manifest-referenced buckets are ALL in this
+        # fold's (file, bucket) selection, no foreign rows can leak — the
+        # per-row semi-join is unnecessary. Always true when a uniform
+        # write pattern folds every bucket at once (the steady-state CDC
+        # shape); the join only runs for partial folds of shared files.
+        owners: dict[str, set] = {}
+        for section in ("files", "deltas"):
+            for b, flist in m.get(section, {}).items():
+                for f in flist:
+                    owners.setdefault(os.path.basename(f), set()).add(int(b))
+        selected = set(pairs)
+        fully_selected = all(
+            (fname, b) in selected
+            for fname in {p[0] for p in pairs}
+            for b in owners.get(fname, ())
         )
-        df = df.withColumn("__file", F.element_at(F.split(F.input_file_name(), "/"), -1))
-        df = df.join(
-            F.broadcast(lookup),
-            (df["__file"] == lookup["__file"]) & (df["__bucket"] == lookup["__owned_bucket"]),
-            "leftsemi",
-        ).drop("__file")
+        if not fully_selected:
+            lookup = self.spark.createDataFrame(
+                sorted(selected), "__file string, __owned_bucket int"
+            )
+            df = df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            df = df.join(
+                F.broadcast(lookup),
+                (df["__file"] == lookup["__file"])
+                & (df["__bucket"] == lookup["__owned_bucket"]),
+                "leftsemi",
+            ).drop("__file")
 
         # ---- one single-exchange LWW merge, salted at the fold depth
         keys, order_by = list(m["keys"]), list(m["order_by"])

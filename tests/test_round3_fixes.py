@@ -80,13 +80,17 @@ def test_auto_mode_picks_reliable_when_dir_set(spark, tmp_path):
 
 
 def test_convergence_sum_no_int64_wrap_early_exit(spark):
-    """Regression: 4 three-node chains whose round-1 label-sum delta is
-    exactly 2^64 — an int64 sum wraps to the SAME value and the old
-    detector exited one round early, leaving the chain tails mislabeled.
-    The decimal(38,0) detector must keep iterating to the true fixpoint."""
+    """Regression: 4 four-node chains whose round-1 label-sum delta is
+    exactly 2^64 (accounting for the min-neighbor label seeding) — an
+    int64 sum wraps to the SAME value and a long-typed detector would
+    exit one round early, leaving the chain tails mislabeled. The
+    decimal(38,0) detector must keep iterating to the true fixpoint."""
     from tap_rest_api_msdk_spark.operators.neardup import connected_components
 
-    chains = [[i, (1 << 61) + i, (1 << 62) + i] for i in range(4)]
+    chains = [
+        [i, (1 << 61) + i, (1 << 62) + i, (1 << 62) + (1 << 61) + i]
+        for i in range(4)
+    ]
     pairs = _chain_pairs(spark, chains)
     got = {r.node: r.comp for r in connected_components(pairs, checkpoint="local").collect()}
     for chain in chains:
