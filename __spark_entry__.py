@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": Q.q_multimodal_image_features,
         "multimodal_frame_sampling": Q.q_multimodal_frame_sampling,
         "multimodal_audio_features": Q.q_multimodal_audio_features,
+        "multimodal_png_features": Q.q_multimodal_png_features,
         # percentiles / distinct sketches
         "value_percentiles": Q.q_value_percentiles,
         "hist_value_percentiles": Q.q_hist_value_percentiles,
@@ -625,6 +626,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(frame_idx * 16 as bigint) as frame_offset,
                    cast((asset_id * 31 + frame_idx * 16 * 17) % 256 as bigint) as frame_byte
             from f
+        """,
+        # REAL baseline-PNG decode (zlib inflate + all five scanline
+        # filters): the engine parses actual PNG bytes; the oracle
+        # recomputes dims + pixel sum from the generation formula — the
+        # whole decode path (chunk walk, inflate, unfilter) is verified
+        "multimodal_png_features": """
+            with a as (select unnest(generate_series(0, 299)) as asset_id),
+            dims as (
+                select asset_id,
+                       8 + (asset_id * 7) % 24 as w,
+                       8 + (asset_id * 11) % 24 as h
+                from a
+            ), px as (
+                select d.asset_id,
+                       sum((d.asset_id * 31 + k.k * 17) % 256) as pixel_sum
+                from dims d, unnest(generate_series(0, d.w * d.h * 3 - 1)) as k(k)
+                group by d.asset_id
+            )
+            select d.asset_id, 'png' as kind,
+                   cast(w as bigint) as width,
+                   cast(h as bigint) as height,
+                   cast(3 as bigint) as channels,
+                   cast(px.pixel_sum as bigint) as pixel_sum
+            from dims d join px on px.asset_id = d.asset_id
         """,
         "multimodal_audio_features": """
             with a as (select unnest(generate_series(0, 299)) as asset_id),

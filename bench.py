@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "approx_distinct_users",
     "multimodal_image_features",
+    "multimodal_png_features",
     "text_gopher_quality",
     "text_tfidf_topterms",
     "asof_join_signup",

@@ -7,8 +7,11 @@ sizing) is production plumbing, and the codec step is now REAL for the
 stdlib-decodable formats this container can handle:
 
 * **images** — binary PPM (``P6``): header parse + full pixel-plane stats
-  (numpy over the Arrow buffer). Other magics (JPEG/PNG/...) raise
-  ``NotImplementedError`` — those codecs don't ship in this container.
+  (numpy over the Arrow buffer); **baseline PNG** (RGB8 non-interlaced):
+  chunk walk, stdlib-zlib inflate, spec-correct unfiltering of all five
+  scanline filter types. JPEG raises ``NotImplementedError``: no codec
+  libs ship here, and a from-scratch float-DCT pipeline would have no
+  closed-form output for an exact SQL oracle — the honest boundary.
 * **audio** — RIFF/WAVE PCM16: header fields + exact integer
   sum-of-squares -> RMS.
 * **video** — a deterministic ``FAKV`` byte container stands in for a real
@@ -107,7 +110,141 @@ def _synth_video(aid: int) -> bytes:
     return b"FAKV" + ((aid * 31 + k * 17) % 256).astype(np.uint8).tobytes()
 
 
-_SYNTH = {"image": _synth_image, "audio": _synth_audio, "video": _synth_video}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def _synth_png(aid: int) -> bytes:
+    """REAL PNG (RGB8, non-interlaced): same dims/pixel formula as the PPM
+    assets (w=8+(7a mod 24), h=8+(11a mod 24), pixel k=(31a+17k) mod 256),
+    but every row is filtered with type r mod 5 — None/Sub/Up/Average/Paeth all
+    appear, so the decoder's unfiltering is exercised for every filter the
+    spec defines, and the pixel oracle still has a closed form."""
+    import zlib
+
+    w, h = 8 + (aid * 7) % 24, 8 + (aid * 11) % 24
+    stride = w * 3
+    k = np.arange(h * stride, dtype=np.int64)
+    recon = ((aid * 31 + k * 17) % 256).astype(np.uint8).reshape(h, stride)
+    raw = bytearray()
+    for r in range(h):
+        ft = r % 5
+        line = recon[r].astype(np.int64)
+        prior = recon[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        if ft == 0:
+            flt = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            flt = (line - left) % 256
+        elif ft == 2:  # Up
+            flt = (line - prior) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            flt = (line - (left + prior) // 2) % 256
+        else:  # Paeth
+            flt = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left_v = int(line[x - 3]) if x >= 3 else 0
+                ul = int(prior[x - 3]) if x >= 3 else 0
+                flt[x] = (int(line[x]) - _paeth(left_v, int(prior[x]), ul)) % 256
+        raw.append(ft)
+        raw.extend(flt.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes):
+    """Spec-correct baseline PNG decode for RGB8 non-interlaced images:
+    chunk walk, zlib inflate, full scanline unfiltering (all five filter
+    types). Returns (width, height, channels, pixel_sum). Unsupported
+    layouts (bit depth != 8, palettes, interlace) raise
+    NotImplementedError rather than mis-decoding."""
+    import zlib
+
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    f"unsupported PNG layout (depth={depth}, color={color}, "
+                    f"interlace={interlace}); this decoder handles RGB8 "
+                    "non-interlaced only"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise NotImplementedError("PNG without IHDR")
+    data = zlib.decompress(bytes(idat))
+    stride = width * 3
+    out = np.zeros((height, stride), dtype=np.uint8)
+    p = 0
+    for r in range(height):
+        ft = data[p]
+        p += 1
+        raw = np.frombuffer(data, np.uint8, stride, p).copy()
+        p += stride
+        prior = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if ft == 0:
+            line = raw
+        elif ft == 2:  # Up (uint8 addition wraps mod 256 by itself)
+            line = raw + prior
+        elif ft == 1:  # Sub: recon = per-channel prefix sum of raw bytes
+            line = (
+                np.cumsum(raw.reshape(width, 3).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x
+            line = np.zeros(stride, np.uint8)
+            pi = prior.astype(np.int64)
+            for x in range(stride):
+                left = int(line[x - 3]) if x >= 3 else 0
+                up = int(pi[x])
+                ul = int(pi[x - 3]) if x >= 3 else 0
+                pred = (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
+                line[x] = (int(raw[x]) + pred) % 256
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        out[r] = line
+    return width, height, 3, int(out.astype(np.int64).sum())
+
+
+_SYNTH = {
+    "image": _synth_image,
+    "audio": _synth_audio,
+    "video": _synth_video,
+    "png": _synth_png,
+}
 
 
 def synth_assets(spark, n: int, kind: str = "image") -> DataFrame:
@@ -151,11 +288,16 @@ def decode_image_features(df: DataFrame) -> DataFrame:
             rows = []
             for aid, kind, data in zip(pdf["asset_id"], pdf["kind"], pdf["data"]):
                 blob = bytes(data) if data is not None else b""
+                if blob.startswith(_PNG_SIG):
+                    w, h, ch, psum = _decode_png(blob)
+                    rows.append((int(aid), kind, len(blob), w, h, ch, psum))
+                    continue
                 m = _PPM_HEADER.match(blob)
                 if not m:
                     raise NotImplementedError(
                         f"unsupported image codec (magic {blob[:2]!r}); this "
-                        "container decodes binary PPM (P6) only"
+                        "container decodes binary PPM (P6) and baseline "
+                        "RGB8 PNG only"
                     )
                 w, h = int(m.group(1)), int(m.group(2))
                 pixels = np.frombuffer(blob, dtype=np.uint8, offset=m.end())

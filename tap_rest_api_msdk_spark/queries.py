@@ -608,6 +608,21 @@ def q_multimodal_audio_features(spark, sf_dir):
     return decode_audio_features(synth_assets(spark, 300, kind="audio"))
 
 
+def q_multimodal_png_features(spark, sf_dir):
+    """REAL baseline PNG decode (stdlib zlib + numpy unfilter): chunk walk,
+    inflate, all five scanline filters. Synthetic assets cycle the filter
+    type per row, so None/Sub/Up/Average/Paeth are all exercised; dims and
+    the pixel-plane sum have closed forms the oracle recomputes (n_bytes is
+    excluded — zlib stream length has no closed form)."""
+    from tap_rest_api_msdk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_assets,
+    )
+
+    out = decode_image_features(synth_assets(spark, 300, kind="png"))
+    return out.select("asset_id", "kind", "width", "height", "channels", "pixel_sum")
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event_type (scalar-fn coverage)."""
     ev = _t(spark, sf_dir, "events")

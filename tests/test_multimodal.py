@@ -67,3 +67,56 @@ def test_resize_stub_records_target(spark):
     df = synth_assets(spark, 2)
     out = resize_stub(df, 224, 224).collect()
     assert all(r.target_width == 224 for r in out)
+
+
+def test_png_roundtrip_all_filter_types():
+    """Synthetic PNGs cycle filter type per row (None/Sub/Up/Average/
+    Paeth); decode must recover the closed-form pixel plane exactly."""
+    import numpy as np
+
+    from tap_rest_api_msdk_spark.functions.multimodal import _decode_png, _synth_png
+
+    for aid in (0, 1, 7, 23, 101):
+        w, h, ch, psum = _decode_png(_synth_png(aid))
+        ew, eh = 8 + (aid * 7) % 24, 8 + (aid * 11) % 24
+        k = np.arange(ew * eh * 3, dtype=np.int64)
+        assert (w, h, ch) == (ew, eh, 3)
+        assert psum == int(((aid * 31 + k * 17) % 256).sum())
+
+
+def test_png_unsupported_layout_raises():
+    import struct
+    import zlib
+
+    import pytest
+
+    from tap_rest_api_msdk_spark.functions.multimodal import _PNG_SIG, _decode_png
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+    # 16-bit grayscale: valid PNG, unsupported layout
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    blob = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="PNG layout"):
+        _decode_png(blob)
+
+
+def test_png_decode_through_spark(spark):
+    from pyspark.sql import functions as F
+
+    from tap_rest_api_msdk_spark.functions.multimodal import (
+        decode_image_features,
+        synth_assets,
+    )
+
+    out = decode_image_features(synth_assets(spark, 50, kind="png"))
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 50
+    import numpy as np
+
+    for aid in (0, 13, 49):
+        r = rows[aid]
+        k = np.arange(r["width"] * r["height"] * 3, dtype=np.int64)
+        assert r["pixel_sum"] == int(((aid * 31 + k * 17) % 256).sum())
