@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tap_rest_api_msdk_spark import queries as Q
+from tap_rest_api_msdk_spark.functions.freq import (
+    bloom_oracle_sql,
+    countmin_oracle_sql,
+)
 from tap_rest_api_msdk_spark.functions.sketch import (
     hist_percentiles_oracle_sql,
     hll_oracle_sql,
@@ -112,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_value_percentiles": Q.q_hist_value_percentiles,
         "distinct_users_exact": Q.q_distinct_users_exact,
         "approx_distinct_users": Q.q_approx_distinct_users,
+        "heavy_hitters_countmin": Q.q_heavy_hitters_countmin,
+        "bloom_filter_join": Q.q_bloom_filter_join,
         # relational coverage
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -689,6 +695,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_users": hll_oracle_sql(
             "events", "event_type", "user_id", p=10, out_col="n_users_approx"
+        ),
+        # count-min heavy hitters: identical d x w counters + min-over-lanes
+        # estimate in both engines (order-free integer arithmetic over the
+        # portable hash); top 20 with a full deterministic tie-break
+        "heavy_hitters_countmin": f"""
+            select key as user_id, cms_count
+            from ({countmin_oracle_sql("events", "user_id", d=4, w=256)})
+            order by cms_count desc, user_id asc limit 20
+        """,
+        # Bloom runtime-filter shape: same k-lane bit positions, same
+        # pass/exact/false-positive row counts
+        "bloom_filter_join": bloom_oracle_sql(
+            "customer", "c_custkey", "orders", "o_custkey",
+            k=3, m=1024, build_where="c_acctbal > 9000",
         ),
         "pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "sample_split",
     "hist_value_percentiles",
+    "heavy_hitters_countmin",
+    "bloom_filter_join",
     "tumbling_window_counts",
     "session_windows",
     "rollup_revenue",

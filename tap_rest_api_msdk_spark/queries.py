@@ -763,3 +763,41 @@ def q_join_enrich_broadcast(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency / membership sketches (functions/freq.py)
+# ---------------------------------------------------------------------------
+
+def q_heavy_hitters_countmin(spark, sf_dir):
+    """Count-min heavy hitters: d×w counters in one map-side-combined
+    aggregate, estimate = min over lanes, top 20 by estimated count.
+    Order-free integer arithmetic over the portable hash — the DuckDB twin
+    reproduces every counter and estimate bit-for-bit (unlike Misra-Gries,
+    whose state is arrival-order-dependent)."""
+    from tap_rest_api_msdk_spark.functions.freq import countmin_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    est = countmin_estimates(ev.select("user_id"), "user_id", d=4, w=256)
+    return est.orderBy(F.col("cms_count").desc(), F.col("user_id").asc()).limit(20)
+
+
+def q_bloom_filter_join(spark, sf_dir):
+    """Bloom-filter runtime-join-filter shape: build k-position filter over
+    a selective customer subset, broadcast it, pre-filter orders before the
+    real join would run; reports pass/exact/false-positive row counts.
+    The (lane, pos) set IS the filter — the portable equivalent of Spark's
+    own bloom runtime filter, exactly reproduced by the oracle."""
+    from tap_rest_api_msdk_spark.functions.freq import bloom_positions, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    build_keys = cust.select(F.col("c_custkey").alias("key")).distinct()
+    probe = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    passed = bloom_probe(probe, "key", bloom_positions(cust, "c_custkey", k=3, m=1024), k=3, m=1024)
+    exact = probe.join(build_keys, "key", "leftsemi")
+    false_pos = passed.join(build_keys, "key", "leftanti")
+    return (
+        passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false_pos")))
+    )
