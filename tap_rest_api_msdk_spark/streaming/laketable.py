@@ -398,6 +398,21 @@ class LakeTable:
         return files, meta
 
     @staticmethod
+    def _merged_extra(cur: Optional[dict], extra_manifest: Optional[dict]) -> dict:
+        """Extra-manifest keys for one commit. DICT-valued keys merge
+        shallowly with the current snapshot's value (ours win per entry) —
+        so per-writer counter maps (e.g. the pipeline's
+        ``records_committed_by``) survive a CAS rebase without clobbering
+        the entries other writers updated in between. Scalar keys replace,
+        as before."""
+        extra = dict(extra_manifest or {})
+        for k_, v in list(extra.items()):
+            cur_v = (cur or {}).get(k_)
+            if isinstance(v, dict) and isinstance(cur_v, dict):
+                extra[k_] = {**cur_v, **v}
+        return extra
+
+    @staticmethod
     def _buckets_touched(old: Optional[dict], new: Optional[dict]) -> set:
         """Bucket ids whose file or delta lists differ between two
         manifests — the conflict footprint of the commits between them."""
@@ -691,7 +706,7 @@ class LakeTable:
                 "order_by": list(order_by),
                 "op_col": op_col,
                 "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
-                **(extra_manifest or {}),
+                **self._merged_extra(cur, extra_manifest),
             }
 
         committed = self._try_commit(m, assemble)
@@ -785,7 +800,7 @@ class LakeTable:
                 "order_by": list(order_by),
                 "op_col": op_col,
                 "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
-                **(extra_manifest or {}),
+                **self._merged_extra(cur, extra_manifest),
             }
 
         committed = self._try_commit(m, assemble)

@@ -150,7 +150,9 @@ def process_batch(
     # batch-id ledger check FIRST: a replayed (already-committed) batch must
     # be a complete no-op — merge_upsert would skip it anyway, but side
     # channels (the DLQ append, metrics work) must not run twice either
-    if batch_id <= table.last_committed_batch_id:
+    # the stream IS the writer: per-stream ledgers let several streams
+    # share one table without suppressing each other's batch ids
+    if batch_id <= table.last_batch_id_for(conf.stream):
         return {"skipped": True, "batch_id": batch_id}
 
     store = BookmarkStore(table, conf.stream, conf.start_date)
@@ -160,7 +162,14 @@ def process_batch(
     # F11 result cap across batches (pagination_results_limit): stop once
     # the table has committed `result_limit` records; a partial batch is
     # truncated deterministically by replication-key order
-    records_committed = (table.current_manifest() or {}).get("records_committed", 0)
+    # per-STREAM counter map (multi-writer safe: dict-valued extra keys
+    # merge per entry on CAS rebase); legacy single-counter manifests
+    # attribute their total to this stream
+    _m = table.current_manifest() or {}
+    _rc_by = _m.get("records_committed_by") or {}
+    records_committed = _rc_by.get(
+        conf.stream, 0 if _rc_by else _m.get("records_committed", 0)
+    )
     if conf.result_limit is not None:
         remaining = conf.result_limit - records_committed
         if remaining <= 0:
@@ -288,9 +297,13 @@ def process_batch(
         batch_id=batch_id,
         op_col=conf.op_col,
         bookmark_updates=store.updates_for(hw, per_part),
-        extra_manifest={"records_committed": records_committed + batch_rows},
+        extra_manifest={
+            "records_committed": records_committed + batch_rows,
+            "records_committed_by": {conf.stream: records_committed + batch_rows},
+        },
         affected_buckets=sorted(per_part),  # lineage partition == merge bucket
         mode=conf.sink_mode,
+        writer_id=conf.stream,
     )
     if (
         not stats.get("skipped")

@@ -240,3 +240,34 @@ def test_chaos_with_concurrent_writer(spark, tmp_path):
     assert got_audit == {
         (f"__audit__{j}", f"p{j}"): (10_000_000 + last, f"c{last}") for j in range(3)
     }
+
+
+def test_per_stream_result_counters_survive_interleaving(spark, tmp_path):
+    """records_committed is per stream now: two pipelines with result
+    limits on one table must each count only their own rows (the single
+    global counter used to clobber under multi-writer)."""
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.pipeline import PipelineConfig, process_batch
+
+    d = str(tmp_path / "wal")
+    synth_repo_wal(spark, 1000, n_repos=5, n_paths=10).write.parquet(d)
+    wal = spark.read.parquet(d)
+    path = str(tmp_path / "t")
+    table = LakeTable(spark, path, num_buckets=4)
+
+    ca = PipelineConfig(stream="sa", payload_col="payload", num_buckets=4, result_limit=300)
+    cb = PipelineConfig(stream="sb", payload_col="payload", num_buckets=4, result_limit=150)
+    # interleave: sa batch, sb batch, sa batch — counters must not mix
+    process_batch(table, ca, wal.filter(F.col("seq") <= 200), 0)
+    process_batch(table, cb, wal.filter(F.col("seq") <= 100), 0)
+    out_a = process_batch(table, ca, wal.filter((F.col("seq") > 200) & (F.col("seq") <= 500)), 1)
+    m = table.current_manifest()
+    rc = m["records_committed_by"]
+    assert rc["sa"] == 300  # capped at ITS limit, unaffected by sb's 100
+    assert rc["sb"] == 101  # seq 0..100 inclusive
+    # sa is now at its cap: the next batch must be refused
+    out = process_batch(table, ca, wal.filter(F.col("seq") > 500), 2)
+    assert out.get("result_limit_reached")
+    # sb still has headroom
+    out_b = process_batch(table, cb, wal.filter((F.col("seq") > 100) & (F.col("seq") <= 160)), 1)
+    assert not out_b.get("result_limit_reached")
