@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": Q.q_dedup_components,
         "dedup_survivors": Q.q_dedup_survivors,
         "sample_split": Q.q_sample_split,
+        "dedup_contained": Q.q_dedup_contained,
+        "sample_stratified": Q.q_sample_stratified,
+        "text_repetition": Q.q_text_repetition,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -297,6 +300,84 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_id,
                    max(doc_id) as max_id
             from h group by 1
+        """,
+        # containment dedup: one anchor shingle per doc joined against the
+        # inverted index, instr verify — identical candidate rule both sides
+        "dedup_contained": f"""
+            with tok as (
+                select doc_id, text, len(text) as ln, {_WS_TOKENS} as w
+                from documents
+            ), sh0 as (
+                select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle
+                from tok, unnest(generate_series(1, greatest(len(w)-2, 1))) as t(i)
+            ), keepsh as (
+                select shingle from sh0 group by shingle having count(*) <= 100
+            ), sh as (
+                select sh0.* from sh0 join keepsh using (shingle)
+            ), anchors as (
+                select doc_id, min(shingle) as shingle from sh group by doc_id
+            ), cand as (
+                select distinct a.doc_id as id_a, b.doc_id as id_b
+                from anchors a join sh b using (shingle)
+                where a.doc_id <> b.doc_id
+            )
+            select c.id_a as contained_id, c.id_b as container_id
+            from cand c
+            join tok ta on ta.doc_id = c.id_a
+            join tok tb on tb.doc_id = c.id_b
+            where ta.ln < tb.ln and position(ta.text in tb.text) > 0
+        """,
+        # per-stratum deterministic sampling: hash salted with the stratum,
+        # per-lang thresholds; floor() before the bigint cast (DuckDB CAST
+        # rounds, Spark cast truncates)
+        "sample_stratified": f"""
+            with h as (
+                select lang, doc_id,
+                       cast(concat('0x', substr(md5(concat(lang, '|', doc_id::varchar)), 1, 15)) as bigint) as h,
+                       case when lang = 'en' then 0.5
+                            when lang = 'fr' then 0.3
+                            else 0.1 end as rate
+                from documents
+            ), s as (
+                select lang, doc_id, h,
+                       cast(floor(rate * {(1 << 60) - 1}.0) as bigint) as thr
+                from h
+            )
+            select lang,
+                   count(*) as n_docs,
+                   cast(sum(case when h <= thr then 1 else 0 end) as bigint) as n_sampled,
+                   min(case when h <= thr then doc_id end) as min_sampled_id
+            from s group by lang
+        """,
+        # Gopher-style repetition: duplicate-bigram fraction + top-token
+        # fraction, floor-truncated doubles (uniform cross-engine rule)
+        "text_repetition": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as w from documents
+            ), grams as (
+                select doc_id,
+                       list_transform(generate_series(1, greatest(len(w)-1, 1)),
+                                      i -> array_to_string(w[i:i+1], ' ')) as g
+                from tok
+            ), gr as (
+                select doc_id, len(g) as n_bigrams,
+                       len(list_distinct(g)) as n_distinct
+                from grams
+            ), tt as (
+                select doc_id, max(c) as top_c, cast(sum(c) as bigint) as n_tok
+                from (
+                    select doc_id, tk, count(*) as c
+                    from (select doc_id, unnest(w) as tk from tok)
+                    group by doc_id, tk
+                ) group by doc_id
+            )
+            select g.doc_id,
+                   cast(g.n_bigrams as bigint) as n_bigrams,
+                   floor((1.0 - g.n_distinct / g.n_bigrams) * 1000000) / 1000000
+                       as dup_bigram_frac,
+                   floor(tt.top_c / tt.n_tok * 1000000) / 1000000
+                       as top_token_frac
+            from gr g join tt using (doc_id)
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)

@@ -66,11 +66,14 @@ BENCH_QUERIES = [
     "multimodal_image_features",
     "multimodal_png_features",
     "text_gopher_quality",
+    "text_repetition",
     "text_tfidf_topterms",
     "asof_join_signup",
     "range_join_clicks",
     "dedup_components",
+    "dedup_contained",
     "sample_split",
+    "sample_stratified",
     "hist_value_percentiles",
     "heavy_hitters_countmin",
     "bloom_filter_join",

@@ -693,3 +693,66 @@ def simhash_neardups(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup (doc fully inside a longer doc)
+# ---------------------------------------------------------------------------
+
+def contained_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: Optional[int] = 100,
+) -> DataFrame:
+    """Documents whose FULL text occurs inside a strictly longer document
+    (the boilerplate/quote-inclusion dedup case exact and near-dup both
+    miss: Jaccard of a short doc against its long container is low).
+
+    Scale shape: each doc contributes ONE anchor (its lexicographically
+    smallest df-capped shingle) joined against the full inverted index —
+    candidates ~ posting-list sizes, never all-pairs — then an exact
+    ``instr`` verify on the two texts. Recall bound (shared by the SQL
+    twin, so results stay exact): token-aligned containment whose anchor
+    shingle survives the document-frequency cap; a doc made ENTIRELY of
+    ultra-common shingles cannot anchor (documented skew guard).
+
+    Returns (contained_id, container_id) distinct pairs.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("ln"),
+    )
+    posts = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_shingle_freq:
+        keep = (
+            posts.groupBy("sh")
+            .agg(F.count_distinct("id").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("sh")
+        )
+        posts = posts.join(keep, "sh")
+    anchors = posts.groupBy("id").agg(F.min("sh").alias("sh"))
+    cands = (
+        anchors.select(F.col("id").alias("id_a"), "sh")
+        .join(posts.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("text").alias("ta"), F.col("ln").alias("la"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("text").alias("tb"), F.col("ln").alias("lb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter((F.col("la") < F.col("lb")) & (F.instr(F.col("tb"), F.col("ta")) > 0))
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+        )
+    )

@@ -801,3 +801,79 @@ def q_bloom_filter_join(spark, sf_dir):
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
         .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false_pos")))
     )
+
+
+def q_dedup_contained(spark, sf_dir):
+    """Containment dedup: docs whose FULL text occurs inside a strictly
+    longer doc — the quote/boilerplate-inclusion case Jaccard misses (a
+    short doc vs its long container scores low). Anchor-shingle inverted
+    index (one anchor per doc) + exact instr verify; same candidate rule
+    in the oracle, so results are exact."""
+    from tap_rest_api_msdk_spark.operators.neardup import contained_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contained_docs(docs, "doc_id", "text", n=3, max_shingle_freq=100)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sampling: each language keeps its own
+    hash-threshold rate (en 50%, fr 30%, others 10%) — rebalancing the
+    corpus mix without RNG state; the hash is salted with the stratum so
+    assignment is independent across strata definitions."""
+    from tap_rest_api_msdk_spark.functions.portable_hash import HASH60_MAX, hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")))
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "fr", F.lit(0.3))
+        .otherwise(F.lit(0.1))
+    )
+    sampled = h <= (rate * HASH60_MAX).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
+            F.min(F.when(sampled, F.col("doc_id"))).alias("min_sampled_id"),
+        )
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per doc: duplicate-bigram fraction
+    (1 - distinct/total) and top-token frequency fraction — the filters
+    that catch degenerate/looping generations. Pure token arithmetic,
+    floor-truncated doubles (cross-engine exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+    )
+    toks = docs.select("doc_id", F.explode(tokens).alias("tok"))
+    top_tok = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    gr = docs.select("doc_id", grams.alias("g")).select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct_bigrams"),
+    )
+    return (
+        gr.join(top_tok, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(
+                    (F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")) * 1e6
+                )
+                / 1e6
+            ).alias("dup_bigram_frac"),
+            (F.floor(F.col("top_c") / F.col("n_tok") * 1e6) / 1e6).alias("top_token_frac"),
+        )
+    )

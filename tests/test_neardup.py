@@ -180,3 +180,40 @@ def test_dedup_components_groups_transitive_neardups(spark):
     out = {r.component: r.n_docs for r in
            dedup_components(docs, "doc_id", "text", threshold=0.4, portable=True).collect()}
     assert out.get(0) == 3 and out.get(50) == 2
+
+
+def test_contained_docs_finds_planted_containment(spark):
+    from tap_rest_api_msdk_spark.operators.neardup import contained_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "prefix words alpha beta gamma delta epsilon suffix words"),
+            (3, "completely different content here entirely"),
+            (4, "alpha beta gamma"),  # contained in 1 AND 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in contained_docs(docs, "doc_id", "text", n=3).collect()
+    }
+    assert (1, 2) in got
+    assert (4, 1) in got and (4, 2) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_contained_docs_skew_guard_bounds_anchor(spark):
+    """A doc made entirely of ultra-common shingles cannot anchor — the
+    documented recall bound that keeps the join skew-safe."""
+    from tap_rest_api_msdk_spark.operators.neardup import contained_docs
+
+    common = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)] + [(100, f"{common} unique tail {100}")],
+        "doc_id long, text string",
+    )
+    out = contained_docs(docs, "doc_id", "text", n=3, max_shingle_freq=5)
+    # all 20 identical docs' shingles exceed the df cap -> no anchors -> no
+    # pairs (exact_dedup owns identical docs); the query must not explode
+    assert out.count() == 0
