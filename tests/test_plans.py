@@ -158,3 +158,37 @@ def test_asof_and_range_join_avoid_nested_loop(spark):
     # range join's equi-join keys include the time bucket
     plan = plan_of(QUERIES["range_join_clicks"](spark, SF_DIR))
     assert "__b" in plan
+
+
+def test_round3_queries_python_free_and_shaped(spark):
+    """Plan gates for the round-3 additions: sketches stay JVM-native with
+    map-side partial aggregates; the containment join is an equi-join on
+    the anchor shingle (never a cross product); the bloom probe broadcasts
+    the filter."""
+    for name in [
+        "heavy_hitters_countmin",
+        "bloom_filter_join",
+        "dedup_contained",
+        "sample_stratified",
+        "text_repetition",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name != "bloom_filter_join":
+            # bloom's FINAL step cross-combines three single-row aggregate
+            # frames (1x1x1 BNLJ is the right plan there); every data-sized
+            # join in it is gated below
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # count-min counters aggregate with a partial (map-side) phase
+    plan = plan_of(QUERIES["heavy_hitters_countmin"](spark, SF_DIR))
+    assert "partial_" in plan
+
+    # the bloom filter SHIPS to the probe side
+    plan = plan_of(QUERIES["bloom_filter_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+    # stratified sampling is one partial-agg pass, no join at all
+    plan = plan_of(QUERIES["sample_stratified"](spark, SF_DIR))
+    assert "Join" not in plan and "partial_" in plan
