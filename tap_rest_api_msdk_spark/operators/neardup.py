@@ -395,7 +395,7 @@ def _loop_shuffle_width(spark) -> int:
     return max(2, min(width, 16))
 
 
-def _iter_checkpoint(df: DataFrame, mode: str) -> DataFrame:
+def _iter_checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     """Truncate lineage between iterative rounds.
 
     mode="reliable" uses ``df.checkpoint()`` — blocks are written to the
@@ -404,6 +404,10 @@ def _iter_checkpoint(df: DataFrame, mode: str) -> DataFrame:
     the job. mode="local" uses ``localCheckpoint()`` — executor-local
     blocks, fast but not fault-tolerant (fine for local[N] testing).
     mode="auto" picks reliable iff a checkpoint dir is configured.
+
+    ``eager=False`` defers materialization to the NEXT action over the
+    frame — the iterative loop's convergence aggregate doubles as the
+    materializing action, saving one full pass per round.
     """
     if mode == "auto":
         try:
@@ -412,8 +416,8 @@ def _iter_checkpoint(df: DataFrame, mode: str) -> DataFrame:
             has_dir = True
         mode = "reliable" if has_dir else "local"
     if mode == "reliable":
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -487,6 +491,8 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
         )
+        # lazy checkpoint: the convergence aggregate right below is the
+        # materializing action (one pass per round instead of two)
         new_labels = _iter_checkpoint(
             labels.unionByName(msgs)
             .unionByName(jumps)
@@ -494,6 +500,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp")),
             checkpoint,
+            eager=False,
         )
         if _round_hook is not None:
             _round_hook(i, new_labels)

@@ -342,30 +342,64 @@ class LakeTable:
         return lww_dedup(df, list(m["keys"]) + ["__bucket"], m["order_by"])
 
     def changes_since(self, version: int) -> Optional[DataFrame]:
-        """Incremental CDC read: rows in data files ADDED after ``version``.
+        """Incremental CDC read: rows in data files added by DATA commits
+        after ``version``.
 
-        Under merge-on-read these are exactly the change rows (delta files
-        hold within-batch LWW winners, incl. tombstones). Under
-        copy-on-write, rewritten buckets carry unchanged rows along —
-        filter by ``replication_key > bookmarks[stream]@version`` for an
-        exact stream (the caller knows its stream name).
+        Maintenance commits (folds, compactions) rewrite unchanged base
+        rows into fresh files — including those would misreport the whole
+        rewritten granule as changes. They are detected by an unchanged
+        per-writer batch ledger and SKIPPED; a data commit consumed by a
+        later fold still contributes its original delta files (retained on
+        disk until vacuum — incremental readers must keep ``vacuum``
+        retention covering their read window, the Iceberg
+        expire-snapshots contract; a vacuumed window raises).
+
+        Under merge-on-read / cow_incremental the returned rows are
+        exactly the change rows (delta files hold within-batch LWW
+        winners, incl. tombstones). Under copy-on-write, rewritten
+        buckets carry unchanged rows along — filter by
+        ``replication_key > bookmarks[stream]@version`` for an exact
+        stream (the caller knows its stream name).
         """
-        old = self.manifest_at(version)
         new = self.current_manifest()
         if new is None:
             return None
+
         def all_files(m):
             out = set()
             for section in ("files", "deltas"):
-                for flist in m.get(section, {}).values():
+                for flist in (m or {}).get(section, {}).values():
                     out.update(flist)
             return out
-        added = sorted(all_files(new) - (all_files(old) if old else set()))
+
+        added: set[str] = set()
+        prev = self.manifest_at(version)
+        have_walk = prev is not None or version < 0
+        if have_walk:
+            for w in range(version + 1, new["version"] + 1):
+                cur = new if w == new["version"] else self.manifest_at(w)
+                if cur is None:
+                    have_walk = False
+                    break
+                if self._ledger(prev) != self._ledger(cur):  # data commit
+                    added |= all_files(cur) - all_files(prev)
+                prev = cur
+        if not have_walk:
+            # missing intermediate manifests: fall back to the coarse
+            # endpoint diff (may include maintenance rewrites)
+            added = all_files(new) - all_files(self.manifest_at(version))
+        missing = sorted(f for f in added if not os.path.exists(f))
+        if missing:
+            raise ValueError(
+                "incremental read window exceeds retained snapshots "
+                f"({len(missing)} change files vacuumed, e.g. {missing[0]}); "
+                "increase vacuum(retain_last=...) to cover readers"
+            )
         schema = T.StructType.fromJson(new["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
         if not added:
             return self.spark.createDataFrame([], stored)
-        return self.spark.read.schema(stored).parquet(*added)
+        return self.spark.read.schema(stored).parquet(*sorted(added))
 
     # ------------------------------------------------------------------
     # write path
@@ -483,6 +517,11 @@ class LakeTable:
         (MOR deltas always rebase), and recomputes the merge from the
         fresh snapshot otherwise — no committed work is ever lost.
         """
+        if mode not in ("cow", "mor", "cow_incremental"):
+            raise ValueError(
+                f"unknown sink mode {mode!r}; use 'cow', 'mor', or "
+                "'cow_incremental'"
+            )
         import random
 
         for _attempt in range(8):

@@ -120,3 +120,50 @@ def test_crash_between_delta_and_fold_reconverges(spark, tmp_path):
     truth.update({i: (2, "upsert", f"v2-{i}") for i in range(0, 500, 7)})
     got = {r["id"]: (r["seq"], r["op"], r["text"]) for r in t2.to_df(drop_deletes=False).collect()}
     assert got == truth
+
+
+def test_changes_since_skips_fold_rewrites(spark, tmp_path):
+    """Incremental readers must see CHANGE rows only: a fold commit that
+    rewrites unchanged base rows into fresh files is a maintenance commit
+    (ledger unchanged) and its file additions are skipped."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.fold_every = 2
+    t.merge_upsert(_mk(spark, [(i, 0, "upsert", f"v0-{i}") for i in range(200)]),
+                   keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+    v0 = t.current_manifest()["version"]
+    # two incremental batches; the second triggers folds (chains hit 2)
+    rows1 = [(i, 1, "upsert", f"v1-{i}") for i in range(0, 200, 5)]
+    rows2 = [(i, 2, "upsert", f"v2-{i}") for i in range(0, 200, 7)]
+    t.merge_upsert(_mk(spark, rows1), keys=["id"], order_by=["seq"], batch_id=1,
+                   op_col="op", mode="cow_incremental")
+    t.merge_upsert(_mk(spark, rows2), keys=["id"], order_by=["seq"], batch_id=2,
+                   op_col="op", mode="cow_incremental")
+    assert t.current_manifest()["version"] > v0 + 2  # folds committed too
+    ch = t.changes_since(v0)
+    got = {(r["id"], r["seq"]) for r in ch.select("id", "seq").collect()}
+    want = {(i, 1) for i in range(0, 200, 5)} | {(i, 2) for i in range(0, 200, 7)}
+    assert got == want  # exactly the change rows — no fold-rewritten base rows
+
+
+def test_changes_since_raises_on_vacuumed_window(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.fold_every = 1  # fold (consume deltas) every batch
+    t.merge_upsert(_mk(spark, [(i, 0, "upsert", "x") for i in range(50)]),
+                   keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+    v0 = t.current_manifest()["version"]
+    t.merge_upsert(_mk(spark, [(1, 1, "upsert", "y")]), keys=["id"], order_by=["seq"],
+                   batch_id=1, op_col="op", mode="cow_incremental")
+    t.vacuum(retain_last=1)  # reclaims the consumed delta file
+    import pytest
+
+    with pytest.raises(ValueError, match="retained snapshots"):
+        t.changes_since(v0)
+
+
+def test_unknown_sink_mode_refused(spark, tmp_path):
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    with pytest.raises(ValueError, match="unknown sink mode"):
+        t.merge_upsert(_mk(spark, [(1, 0, "upsert", "x")]), keys=["id"],
+                       order_by=["seq"], batch_id=0, mode="cowz")

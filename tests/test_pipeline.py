@@ -143,3 +143,20 @@ def test_flattened_columns_land_in_table(spark, wal, tmp_path):
     table = run_batch_replay(spark, wal_df.limit(500), str(tmp_path / "t"), conf(ps))
     cols = set(table.to_df().columns)
     assert {"content", "metadata_author_name", "metadata_lang", "metadata_size", "tags"} <= cols
+
+
+def test_streaming_cow_incremental_matches_oracle(spark, wal, tmp_path):
+    """Structured-streaming drain with the hierarchical incremental COW
+    sink: per-batch delta append + chain-triggered granular folds must
+    reach the same final state as the DuckDB replay oracle."""
+    wal_df, wal_path, ps = wal
+    stream_dir = str(tmp_path / "walstream")
+    os.makedirs(stream_dir)
+    for s in write_wal_slices(wal_df, str(tmp_path / "slices"), 5):
+        os.rename(s, os.path.join(stream_dir, os.path.basename(s)))
+    table, _ = run_streaming(
+        spark, stream_dir, wal_df.schema, str(tmp_path / "t"),
+        conf(ps, sink_mode="cow_incremental", fold_every=2),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    assert spark_state(table) == oracle_state(wal_path)
