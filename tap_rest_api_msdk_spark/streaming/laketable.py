@@ -854,6 +854,88 @@ class LakeTable:
             "merge_seconds": time.time() - t0,
         }
 
+    def cdc_diff(
+        self, from_version: int, to_version: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Row-level changelog between two snapshots (Iceberg CDC-read
+        analog): one row per key whose LIVE state differs, with
+        ``change ∈ {insert, update, delete}`` plus ``before``/``after``
+        structs of the non-key columns.
+
+        Both endpoints resolve through ``read_state`` (MOR deltas folded,
+        time-travel manifests), so the diff is exact under any mix of
+        cow / mor / cow_incremental commits in between. Tombstones count
+        as absent (a key whose latest row became a tombstone is a
+        ``delete``; a tombstone later upserted is an ``insert``). One
+        full-outer join keyed on the merge keys — both sides are
+        bucket-partitioned the same way, and unchanged keys drop before
+        anything is collected."""
+        m = self.current_manifest() if to_version is None else self.manifest_at(to_version)
+        if m is None:
+            return None
+        keys = list(m["keys"])
+        op_col = m.get("op_col")
+
+        def live_state(version):
+            df = self.read_state(version=version)
+            if df is None:
+                return None
+            df = df.drop("__bucket")
+            if op_col and op_col in df.columns:
+                df = df.filter(
+                    F.col(op_col).isNull() | (F.col(op_col) != F.lit("delete"))
+                )
+            return df
+
+        after = live_state(to_version)
+        before = live_state(from_version)
+        schema = T.StructType.fromJson(m["schema"])
+        attrs = [f.name for f in schema.fields if f.name not in keys]
+        if after is None:
+            return None
+        if before is None:
+            return after.select(
+                *keys,
+                F.lit("insert").alias("change"),
+                F.lit(None).cast(
+                    T.StructType([f for f in schema.fields if f.name not in keys])
+                ).alias("before"),
+                F.struct(*attrs).alias("after"),
+            )
+
+        def packed(df, name):
+            # align both endpoints to the CURRENT schema (an older
+            # snapshot may predate additive columns): missing attrs are
+            # typed nulls so the before/after structs compare cleanly
+            body = []
+            for f_ in schema.fields:
+                if f_.name in keys:
+                    continue
+                if f_.name in df.columns:
+                    body.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                else:
+                    body.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            return df.select(*keys, F.struct(*body).alias(name))
+
+        b = packed(before, "before")
+        a = packed(after, "after")
+        joined = b.join(a, keys, "full_outer")
+        change = (
+            F.when(F.col("before").isNull(), F.lit("insert"))
+            .when(F.col("after").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            joined.withColumn("change", change)
+            # unchanged keys (identical attr structs) are not changes
+            .filter(
+                F.col("before").isNull()
+                | F.col("after").isNull()
+                | ~F.col("before").eqNullSafe(F.col("after"))
+            )
+            .select(*keys, "change", "before", "after")
+        )
+
     # ------------------------------------------------------------------
     # hierarchical granular fold (DESIGN_hierarchical_bucketing.md)
     # ------------------------------------------------------------------

@@ -167,3 +167,36 @@ def test_unknown_sink_mode_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown sink mode"):
         t.merge_upsert(_mk(spark, [(1, 0, "upsert", "x")]), keys=["id"],
                        order_by=["seq"], batch_id=0, mode="cowz")
+
+
+def test_cdc_diff_insert_update_delete(spark, tmp_path):
+    """Row-level changelog between snapshots: inserts/updates/deletes
+    classified exactly; tombstones count as absent; unchanged keys drop."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.merge_upsert(_mk(spark, [(1, 0, "upsert", "a"), (2, 0, "upsert", "b"),
+                               (3, 0, "upsert", "c")]),
+                   keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+    v0 = t.current_manifest()["version"]
+    # batch 1 (mor) + batch 2 (cow_incremental): update 1, delete 2, insert 4
+    t.merge_upsert(_mk(spark, [(1, 1, "upsert", "a2"), (2, 1, "delete", "")]),
+                   keys=["id"], order_by=["seq"], batch_id=1, op_col="op", mode="mor")
+    t.merge_upsert(_mk(spark, [(4, 2, "upsert", "d")]),
+                   keys=["id"], order_by=["seq"], batch_id=2, op_col="op",
+                   mode="cow_incremental")
+    diff = {r["id"]: (r["change"], r["before"], r["after"])
+            for r in t.cdc_diff(v0).collect()}
+    assert set(diff) == {1, 2, 4}  # key 3 unchanged -> absent
+    assert diff[1][0] == "update" and diff[1][1]["text"] == "a" and diff[1][2]["text"] == "a2"
+    assert diff[2][0] == "delete" and diff[2][2] is None
+    assert diff[4][0] == "insert" and diff[4][1] is None and diff[4][2]["text"] == "d"
+
+
+def test_cdc_diff_from_empty_is_all_inserts(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.merge_upsert(_mk(spark, [(1, 0, "upsert", "a")]), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op")
+    v0 = t.current_manifest()["version"]
+    t.merge_upsert(_mk(spark, [(2, 1, "upsert", "b")]), keys=["id"],
+                   order_by=["seq"], batch_id=1, op_col="op")
+    d = t.cdc_diff(v0)
+    assert {r["id"]: r["change"] for r in d.collect()} == {2: "insert"}
