@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contained": Q.q_dedup_contained,
         "sample_stratified": Q.q_sample_stratified,
         "text_repetition": Q.q_text_repetition,
+        "text_unigram_surprisal": Q.q_text_unigram_surprisal,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -378,6 +379,27 @@ def oracle_sql() -> dict[str, str]:
                    floor(tt.top_c / tt.n_tok * 1000000) / 1000000
                        as top_token_frac
             from gr g join tt using (doc_id)
+        """,
+        # corpus-unigram surprisal (CCNet-shape LM-quality proxy): per-token
+        # -ln p quantized to an integer BEFORE summing (exact order-free
+        # distributed sum; only ONE transcendental per distinct token)
+        "text_unigram_surprisal": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), corpus as (
+                select tk, count(*) as c from tok group by tk
+            ), total as (
+                select cast(count(*) as double) as n from tok
+            ), scored as (
+                select t.doc_id,
+                       count(*) as n_tok,
+                       cast(sum(cast(floor(-ln(c.c / total.n) * 1000000) as bigint)) as bigint) as s6
+                from tok t join corpus c using (tk) cross join total
+                group by t.doc_id
+            )
+            select doc_id, n_tok,
+                   floor(s6 / n_tok) / 1000000 as mean_surprisal
+            from scored
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "multimodal_png_features",
     "text_gopher_quality",
     "text_repetition",
+    "text_unigram_surprisal",
     "text_tfidf_topterms",
     "asof_join_signup",
     "range_join_clicks",

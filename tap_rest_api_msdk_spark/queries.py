@@ -877,3 +877,36 @@ def q_text_repetition(spark, sf_dir):
             (F.floor(F.col("top_c") / F.col("n_tok") * 1e6) / 1e6).alias("top_token_frac"),
         )
     )
+
+
+def q_text_unigram_surprisal(spark, sf_dir):
+    """LM-quality proxy (CCNet shape, self-contained): score each doc by
+    its mean unigram surprisal -ln p(tok) under the CORPUS's own unigram
+    distribution — low = boilerplate/common-token soup, high = rare-token
+    noise; the standard perplexity-filter primitive without an external
+    LM. Two aggregates (corpus counts, per-doc mean over a broadcast-ish
+    join on token); floor-truncated to 1e-4 so the single transcendental
+    ln stays cross-engine stable."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tok = docs.select("doc_id", F.explode(tokens).alias("tok"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # one scalar; embedded as a literal in both engines
+    # per-token surprisal quantized to an INTEGER (floor(1e6 * -ln p))
+    # before summing: the distributed sum is then exact and order-free —
+    # a double sum would be partition-order-dependent (r1 lesson; same
+    # device as the HLL/histogram sketches)
+    s_tok = F.floor(-F.log(F.col("c") / F.lit(float(total))) * 1e6).cast("long")
+    scored = (
+        tok.join(F.broadcast(corpus), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(s_tok).alias("s6"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        (F.floor(F.col("s6") / F.col("n_tok")) / 1e6).alias("mean_surprisal"),
+    )

@@ -109,3 +109,20 @@ def test_gopher_quality_flags_discriminate(spark):
     assert out[3]["ok_stopwords"] is False
     assert out[4]["ok_alpha_ratio"] is False
     assert all(not out[i]["pass"] for i in (1, 2, 3, 4))
+
+
+def test_unigram_surprisal_orders_common_vs_rare(spark):
+    """A doc of corpus-common tokens must score LOWER mean surprisal than
+    a doc of corpus-rare tokens (the quality-filter contract)."""
+    from tap_rest_api_msdk_spark.queries import q_text_unigram_surprisal
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="surp-")
+    rows = [(i, "common words common words common", "en", "s", 30) for i in range(20)]
+    rows += [(100, "common words common words common", "en", "s", 30),
+             (101, "zyx qwv jkl pqr stu", "en", "s", 19)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r["mean_surprisal"] for r in q_text_unigram_surprisal(spark, d).collect()}
+    assert out[101] > out[100]
