@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": Q.q_sample_stratified,
         "text_repetition": Q.q_text_repetition,
         "text_unigram_surprisal": Q.q_text_unigram_surprisal,
+        "substring_dup_rate": Q.q_substring_dup_rate,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -379,6 +380,30 @@ def oracle_sql() -> dict[str, str]:
                    floor(tt.top_c / tt.n_tok * 1000000) / 1000000
                        as top_token_frac
             from gr g join tt using (doc_id)
+        """,
+        # exact-substring duplication rate (Lee et al. 2022 shape): 40-char
+        # windows at stride 8, per-doc fraction whose exact text occurs in
+        # another doc (window df >= 2)
+        "substring_dup_rate": """
+            with w as (
+                select doc_id,
+                       substr(text, p * 8 + 1, 40) as win
+                from documents,
+                     unnest(generate_series(
+                         0, cast(greatest(floor((len(text) - 40) / 8.0) + 1, 1) as bigint) - 1
+                     )) as t(p)
+            ), dfc as (
+                select win, count(distinct doc_id) as df_ from w group by win
+            ), per_doc as (
+                select w.doc_id,
+                       count(*) as n_windows,
+                       cast(sum(case when dfc.df_ >= 2 then 1 else 0 end) as bigint) as n_dup
+                from w join dfc using (win)
+                group by w.doc_id
+            )
+            select doc_id, n_windows,
+                   floor(n_dup / n_windows * 1000000) / 1000000 as dup_window_frac
+            from per_doc
         """,
         # corpus-unigram surprisal (CCNet-shape LM-quality proxy): per-token
         # -ln p quantized to an integer BEFORE summing (exact order-free

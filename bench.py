@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "text_gopher_quality",
     "text_repetition",
     "text_unigram_surprisal",
+    "substring_dup_rate",
     "text_tfidf_topterms",
     "asof_join_signup",
     "range_join_clicks",

@@ -910,3 +910,39 @@ def q_text_unigram_surprisal(spark, sf_dir):
         "n_tok",
         (F.floor(F.col("s6") / F.col("n_tok")) / 1e6).alias("mean_surprisal"),
     )
+
+
+def q_substring_dup_rate(spark, sf_dir):
+    """Exact-substring duplication rate (Lee et al. 2022 'Deduplicating
+    Training Data' shape): slide 40-char windows at stride 8 over every
+    doc, count per-doc the fraction of windows whose exact text also
+    appears in ANOTHER doc — catches partial overlap that set-based
+    Jaccard underweights. Corpus-wide window df is one map-side-combined
+    aggregate; at 10^10 docs the window table shards by window hash (the
+    suffix-array approach's economics without the suffix array)."""
+    docs = _t(spark, sf_dir, "documents")
+    W, STRIDE = 40, 8
+    npos = F.greatest(
+        F.floor((F.length("text") - F.lit(W)) / F.lit(STRIDE)) + 1, F.lit(1)
+    ).cast("int")
+    wins = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), npos - 1)).alias("p"),
+    ).join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("p") * STRIDE + 1, W).alias("win"),
+    )
+    df_counts = wins.groupBy("win").agg(F.count_distinct("doc_id").alias("df_"))
+    per_doc = (
+        wins.join(df_counts, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        (F.floor(F.col("n_dup") / F.col("n_windows") * 1e6) / 1e6).alias("dup_window_frac"),
+    )
