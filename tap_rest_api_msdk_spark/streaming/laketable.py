@@ -1210,7 +1210,10 @@ class LakeTable:
         manifests (default 1 = current snapshot only). Returns the number
         of files removed. ``retain_last > 1`` keeps that many historical
         snapshots time-travelable after maintenance — the Iceberg
-        expire-snapshots retention contract.
+        expire-snapshots retention contract. Note ``retain_last`` counts
+        VERSIONS, and cow_incremental produces up to two versions per
+        batch (delta commit + fold commit) — size retention in versions,
+        not batches, when incremental readers need a replay window.
 
         Multi-writer: a concurrent writer may have data files on disk that
         no manifest references YET (written, not committed). Set
