@@ -200,3 +200,28 @@ def test_cdc_diff_from_empty_is_all_inserts(spark, tmp_path):
                    order_by=["seq"], batch_id=1, op_col="op")
     d = t.cdc_diff(v0)
     assert {r["id"]: r["change"] for r in d.collect()} == {2: "insert"}
+
+
+def test_time_travel_across_fold_commits(spark, tmp_path):
+    """Snapshot isolation: reading at a version BEFORE later folds must
+    return the state as of that version (fold commits rewrite files but
+    historical manifests keep referencing the originals until vacuum)."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.fold_every = 2
+    t.merge_upsert(_mk(spark, [(i, 0, "upsert", f"v0-{i}") for i in range(100)]),
+                   keys=["id"], order_by=["seq"], batch_id=0, op_col="op")
+    snap_v = t.current_manifest()["version"]
+    snap_state = {r["id"]: r["text"] for r in t.to_df().collect()}
+
+    for b in (1, 2, 3):  # folds fire from batch 2 on
+        t.merge_upsert(_mk(spark, [(i, b, "upsert", f"v{b}-{i}") for i in range(0, 100, 3)]),
+                       keys=["id"], order_by=["seq"], batch_id=b,
+                       op_col="op", mode="cow_incremental")
+    assert t.current_manifest()["version"] >= snap_v + 4
+
+    # the historical snapshot is unchanged
+    back = {r["id"]: r["text"] for r in t.to_df(version=snap_v).collect()}
+    assert back == snap_state
+    # and the current state reflects the later writes
+    now = {r["id"]: r["text"] for r in t.to_df().collect()}
+    assert now[0] == "v3-0" and now[1] == "v0-1"
