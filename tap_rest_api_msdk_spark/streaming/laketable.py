@@ -251,8 +251,34 @@ class LakeTable:
             return dict(m["batch_ids"])
         return {"default": m.get("batch_id", -1)}
 
+    def _bumped_ledger(self, cur: Optional[dict], writer_id: str, batch_id: int) -> dict:
+        """The next snapshot's ledger: this writer's entry advances
+        MONOTONICALLY (max, never overwrite) — a rebase against a snapshot
+        where a duplicate of this writer already committed a later batch
+        must not regress the entry, or a subsequent replay of that later
+        batch would pass the idempotence check and apply twice."""
+        led = self._ledger(cur)
+        led[writer_id] = max(int(led.get(writer_id, -1)), int(batch_id))
+        return led
+
+    @classmethod
+    def _last_for(cls, m: Optional[dict], writer_id: str) -> int:
+        """This writer's last committed batch id under ``m``. A PRE-UPGRADE
+        manifest (no ``batch_ids`` map) recorded its single global ledger
+        under writer 'default' — a named writer resuming on such a table
+        falls back to that entry (mirrors the pipeline's legacy
+        ``records_committed`` fallback), so a replayed batch after the
+        upgrade is still suppressed instead of running its side channels
+        (DLQ append, metrics) twice."""
+        led = cls._ledger(m)
+        if writer_id in led:
+            return int(led[writer_id])
+        if m is not None and "batch_ids" not in m:
+            return int(led.get("default", -1))
+        return -1
+
     def last_batch_id_for(self, writer_id: str = "default") -> int:
-        return int(self._ledger(self.current_manifest()).get(writer_id, -1))
+        return self._last_for(self.current_manifest(), writer_id)
 
     @property
     def last_committed_batch_id(self) -> int:
@@ -408,19 +434,28 @@ class LakeTable:
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)).cast("int")
 
     @staticmethod
-    def _files_and_meta(affected, S, k_parts, by_index):
+    def _files_and_meta(affected, S, k_parts, by_index, allowed=None):
         """Per-bucket (file list, slice metadata) for one write job.
 
         Metadata entry per (bucket, file basename): ``[S, [residues...]]``
         — the salt residues (at depth S) of this bucket that landed in the
         file (several when partition indices collide). This is the
         bookkeeping that makes (bucket, slice)-granular rewrites possible:
-        a key with slice64 σ lives in the file iff σ mod S ∈ residues."""
+        a key with slice64 σ lives in the file iff σ mod S ∈ residues.
+
+        ``allowed`` (bucket -> set of residues at depth S) restricts the
+        CLAIMED residues to those the job actually wrote — a partial fold
+        only rewrites its due granules, and over-claiming the rest would
+        drag the new files into every subsequent fold of unrelated
+        granules (degrading partial folds toward whole-bucket rewrites)."""
         files: dict[str, list] = {}
         meta: dict[str, dict] = {}
         for b in affected:
             residues_by_file: dict[str, list] = {}
+            ok = None if allowed is None else allowed.get(int(b))
             for s in range(S):
+                if ok is not None and s not in ok:
+                    continue
                 p = bucket_salt_to_partition(b, s, k_parts)
                 if p in by_index:
                     residues_by_file.setdefault(by_index[p], []).append(s)
@@ -459,18 +494,25 @@ class LakeTable:
                     touched.add(int(b))
         return touched
 
-    def _try_commit(self, base_m: Optional[dict], assemble) -> Optional[dict]:
+    #: sentinel an ``assemble`` closure returns when, on a CAS rebase, the
+    #: fresh snapshot shows the batch was ALREADY committed (a zombie /
+    #: failover duplicate of the same writer won the race) — the commit
+    #: must become a no-op, not a recompute and never a ledger overwrite
+    _SKIP = object()
+
+    def _try_commit(self, base_m: Optional[dict], assemble):
         """Optimistic-concurrency commit loop: ``assemble(cur_manifest)``
         builds the next manifest on top of the CURRENT snapshot (returning
         None when the caller's data files are stale against it and the
-        whole operation must recompute). CAS-publish; on a lost race,
-        re-read and re-assemble (metadata rebase) — the Iceberg commit
-        protocol."""
+        whole operation must recompute, or ``_SKIP`` when the fresh
+        snapshot shows this batch id already applied for this writer).
+        CAS-publish; on a lost race, re-read and re-assemble (metadata
+        rebase) — the Iceberg commit protocol."""
         cur = base_m
         while True:
             manifest = assemble(cur)
-            if manifest is None:
-                return None
+            if manifest is None or manifest is self._SKIP:
+                return manifest
             manifest["version"] = (cur["version"] + 1) if cur else 0
             if self._publish(manifest):
                 return manifest
@@ -554,7 +596,7 @@ class LakeTable:
         commit invalidated the data files (conflicting buckets) — the
         caller recomputes from the fresh snapshot."""
         m = self.current_manifest()
-        if batch_id <= int(self._ledger(m).get(writer_id, -1)):
+        if batch_id <= self._last_for(m, writer_id):
             return {"skipped": True, "batch_id": batch_id}
         if m is not None:
             # keys/order_by/op_col are TABLE properties (like num_buckets):
@@ -694,8 +736,14 @@ class LakeTable:
 
         our_files, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
 
-        def assemble(cur: Optional[dict]) -> Optional[dict]:
+        def assemble(cur: Optional[dict]):
             if cur is not m:
+                # a zombie/failover duplicate of THIS writer may have won
+                # the race with the same (or a later) batch: re-check the
+                # ledger against the fresh snapshot — overwriting would
+                # REGRESS the ledger and let a later replay apply twice
+                if self._last_for(cur, writer_id) >= batch_id:
+                    return self._SKIP
                 # lost the CAS: our rewritten bucket files embody the OLD
                 # base — they stay valid iff no intervening commit touched
                 # any of our buckets (and key types didn't drift); else the
@@ -713,9 +761,17 @@ class LakeTable:
                     return None
                 if cur_schema is not None:
                     ct = {f.name: f.dataType for f in cur_schema.fields}
+                    nt = {f.name: f.dataType for f in new_schema.fields}
                     ft = {f.name: f.dataType for f in final_schema.fields}
                     for k in keys:
                         if k in ct and ct[k] != ft.get(k, ct[k]):
+                            return None
+                        # OUR files bucket keys under new_schema's types: if
+                        # the merged schema differs (e.g. we wrote long keys
+                        # on an empty table while a racer committed double),
+                        # our files are mis-bucketed — recompute (the retry
+                        # re-aligns the batch to the winner's key type)
+                        if k in nt and nt[k] != ft.get(k, nt[k]):
                             return None
             else:
                 final_schema = new_schema
@@ -733,7 +789,7 @@ class LakeTable:
                 # through rebases; ours overlay below
                 **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
                 "batch_id": batch_id,
-                "batch_ids": {**self._ledger(cur), writer_id: batch_id},
+                "batch_ids": self._bumped_ledger(cur, writer_id, batch_id),
                 "committed_at": time.time(),
                 "schema": final_schema.jsonValue(),
                 "files": files,
@@ -751,6 +807,8 @@ class LakeTable:
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None  # conflicting buckets: caller recomputes
+        if committed is self._SKIP:
+            return {"skipped": True, "batch_id": batch_id}
         return {
             "skipped": False,
             "batch_id": batch_id,
@@ -802,7 +860,12 @@ class LakeTable:
 
         our_deltas, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
 
-        def assemble(cur: Optional[dict]) -> Optional[dict]:
+        def assemble(cur: Optional[dict]):
+            if cur is not m and int(self._ledger(cur).get(writer_id, -1)) >= batch_id:
+                # a duplicate of this writer already committed this batch
+                # (or a later one) — appending our delta files again would
+                # double-apply the batch; the replay becomes a no-op
+                return self._SKIP
             cur_schema = (
                 T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
             )
@@ -814,6 +877,19 @@ class LakeTable:
                 )
             except Exception:
                 return None
+            if cur is not m and cur_schema is not None:
+                # same key-type-drift guard as the COW rebase: our delta
+                # files bucket keys under OUR key types; if an intervening
+                # schema evolution widened a key column, the same key would
+                # map to two buckets (duplicate live rows) — recompute
+                ct = {f.name: f.dataType for f in cur_schema.fields}
+                nt = {f.name: f.dataType for f in new_schema.fields}
+                ft = {f.name: f.dataType for f in final_schema.fields}
+                for k in keys:
+                    if k in ct and ct[k] != ft.get(k, ct[k]):
+                        return None
+                    if k in nt and nt[k] != ft.get(k, nt[k]):
+                        return None
             deltas = dict(cur.get("deltas", {})) if cur else {}
             slice_meta = dict(cur.get("slice_meta", {})) if cur else {}
             for b_str, flist in our_deltas.items():
@@ -827,7 +903,7 @@ class LakeTable:
                 # through rebases; ours overlay below
                 **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
                 "batch_id": batch_id,
-                "batch_ids": {**self._ledger(cur), writer_id: batch_id},
+                "batch_ids": self._bumped_ledger(cur, writer_id, batch_id),
                 "committed_at": time.time(),
                 "schema": final_schema.jsonValue(),
                 "files": dict(cur["files"]) if cur else {},
@@ -845,6 +921,8 @@ class LakeTable:
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None
+        if committed is self._SKIP:
+            return {"skipped": True, "batch_id": batch_id}
         return {
             "skipped": False,
             "batch_id": batch_id,
@@ -1087,8 +1165,14 @@ class LakeTable:
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        # claim ONLY the residues this fold actually rewrote (due granules,
+        # lifted from depth S_b to the write depth S_w) — see _files_and_meta
+        allowed = {
+            int(b_str): {s for s in range(S_w) if s % S_b in set(due)}
+            for b_str, (S_b, due, _bs, _ds) in plans.items()
+        }
         new_files, new_meta = self._files_and_meta(
-            [int(b) for b in plans], S_w, k_parts, by_index
+            [int(b) for b in plans], S_w, k_parts, by_index, allowed=allowed
         )
 
         def assemble(cur: Optional[dict]) -> Optional[dict]:

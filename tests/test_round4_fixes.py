@@ -1,0 +1,212 @@
+"""Round-4 ADVICE regression tests.
+
+1. A CAS rebase must never REGRESS a writer's ledger entry: a zombie /
+   failover duplicate of a stream replaying an old batch while the live
+   writer advances concurrently becomes a no-op (skip), not a ledger
+   overwrite — otherwise a later replay of the higher batch would pass the
+   idempotence check and apply twice (and MOR would append duplicate
+   delta files).
+2. The MOR rebase carries the same key-type-drift guard as COW.
+3. A named writer resuming on a PRE-UPGRADE manifest (single global
+   ``batch_id``, no ``batch_ids`` map) falls back to the legacy 'default'
+   ledger entry, so replayed batches stay suppressed across the upgrade.
+4. A partial fold claims slice residues ONLY for the granules it actually
+   rewrote (``_files_and_meta(allowed=...)``) — over-claiming would drag
+   fold output into every later fold of unrelated granules.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.streaming.laketable import (
+    LakeTable,
+    bucket_salt_to_partition,
+)
+
+
+def _rows(spark, ids, seq, text):
+    return spark.createDataFrame(
+        [(int(i), int(seq), f"{text}-{i}-{seq}") for i in ids],
+        "id long, seq long, text string",
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_zombie_replay_cannot_regress_ledger(spark, tmp_path, mode):
+    """Writer 'w' is at batch 5; a zombie duplicate of 'w' replays batch 3
+    and loses the CAS to a concurrent batch-6 commit by the live 'w'. The
+    zombie's rebase must SKIP (ledger already >= 3), keep the ledger at 6,
+    and write none of its rows."""
+    path = str(tmp_path / f"tbl_zombie_{mode}")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, [1, 2], 5, "live"), keys=["id"],
+                   order_by=["seq"], batch_id=5, mode=mode, writer_id="w")
+
+    # the entry ledger check passes for the zombie (6 > 5); the race the
+    # ADVICE flags is mid-flight: between the zombie's manifest read and
+    # its CAS, the live writer commits batch 7 under the SAME writer id —
+    # the zombie's rebase must then skip, not overwrite the ledger to 6
+    zombie = LakeTable(spark, path, num_buckets=4)
+    live = LakeTable(spark, path, num_buckets=4)
+    real_publish = zombie._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            live.merge_upsert(_rows(spark, [1, 2], 7, "live7"), keys=["id"],
+                              order_by=["seq"], batch_id=7, mode=mode,
+                              writer_id="w")
+        return real_publish(manifest)
+
+    zombie._publish = racing_publish
+    out = zombie.merge_upsert(_rows(spark, [99], 6, "zomb"), keys=["id"],
+                              order_by=["seq"], batch_id=6, mode=mode,
+                              writer_id="w")
+    assert out.get("skipped"), out
+    m = LakeTable(spark, path, num_buckets=4).current_manifest()
+    assert m["batch_ids"]["w"] == 7  # never regressed to 6
+    got = {r["id"]: r["text"] for r in LakeTable(spark, path).to_df().collect()}
+    assert 99 not in got  # the zombie's rows were not applied
+    assert got[1] == "live7-1-7"
+
+
+def test_mor_rebase_refuses_key_type_drift(spark, tmp_path):
+    """Two writers race on an EMPTY table with different key types (long vs
+    double): the MOR loser must not append delta files bucketed under the
+    stale key type — it recomputes, and the retry refuses the drift."""
+    path = str(tmp_path / "tbl_drift")
+    t1 = LakeTable(spark, path, num_buckets=4)
+    t2 = LakeTable(spark, path, num_buckets=4)
+    real_publish = t1._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            t2.merge_upsert(
+                spark.createDataFrame([(1.0, 1, "w2")], "id double, seq long, text string"),
+                keys=["id"], order_by=["seq"], batch_id=0, mode="mor",
+                writer_id="w2",
+            )
+        return real_publish(manifest)
+
+    t1._publish = racing_publish
+    out = t1.merge_upsert(
+        spark.createDataFrame([(1, 2, "w1")], "id long, seq long, text string"),
+        keys=["id"], order_by=["seq"], batch_id=0, mode="mor",
+        writer_id="w1",
+    )
+    assert not out.get("skipped")
+    # without the guard, w1's delta file buckets id under LONG hashing while
+    # the table key is DOUBLE — key 1 would surface TWICE (two buckets).
+    # With it, w1 recomputes: one row, w1's higher seq wins, key is double.
+    rows = LakeTable(spark, path).to_df().collect()
+    assert [r["text"] for r in rows] == ["w1"]
+    assert rows[0]["id"] == 1.0
+
+
+def test_legacy_manifest_ledger_fallback(spark, tmp_path):
+    """A named stream resuming on a pre-upgrade manifest (global batch_id,
+    no batch_ids map) must still suppress replayed batches."""
+    path = str(tmp_path / "tbl_legacy")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, [1], 4, "old"), keys=["id"], order_by=["seq"],
+                   batch_id=4)
+    # rewrite the manifest as a LEGACY one: drop the batch_ids map
+    mdir = os.path.join(path, "manifests")
+    name = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, name)) as fh:
+        m = json.load(fh)
+    m.pop("batch_ids")
+    with open(os.path.join(mdir, name), "w") as fh:
+        json.dump(m, fh)
+
+    t2 = LakeTable(spark, path, num_buckets=4)
+    assert t2.last_batch_id_for("my_stream") == 4  # legacy fallback
+    out = t2.merge_upsert(_rows(spark, [2], 3, "replay"), keys=["id"],
+                          order_by=["seq"], batch_id=3, writer_id="my_stream")
+    assert out.get("skipped")
+    # a genuinely NEW batch commits and adopts the per-writer ledger
+    out2 = t2.merge_upsert(_rows(spark, [2], 5, "new"), keys=["id"],
+                           order_by=["seq"], batch_id=5, writer_id="my_stream")
+    assert not out2.get("skipped")
+    assert t2.current_manifest()["batch_ids"]["my_stream"] == 5
+    # post-upgrade manifests do NOT fall back (independent writers again)
+    assert t2.last_batch_id_for("other_stream") == -1
+
+
+def test_files_and_meta_allowed_restricts_claims():
+    """allowed= restricts both the claimed residues and the file list."""
+    S, k_parts = 4, 8
+    by_index = {
+        bucket_salt_to_partition(0, s, k_parts): f"/d/f{s}.parquet" for s in range(S)
+    }
+    files_all, meta_all = LakeTable._files_and_meta([0], S, k_parts, by_index)
+    claimed_all = {r for ent in meta_all["0"].values() for r in ent[1]}
+    assert claimed_all == {0, 1, 2, 3}
+    files_r, meta_r = LakeTable._files_and_meta(
+        [0], S, k_parts, by_index, allowed={0: {1, 3}}
+    )
+    claimed_r = {r for ent in meta_r["0"].values() for r in ent[1]}
+    assert claimed_r == {1, 3}
+    assert set(files_r["0"]) < set(files_all["0"])
+
+
+def test_partial_fold_claims_only_due_residues(spark, tmp_path):
+    """Hot granule folds; the fold output's slice_meta must claim only the
+    hot granule's residue class, so later folds of cold granules don't
+    drag the new base files in (whole-bucket rewrite regression)."""
+    path = str(tmp_path / "tbl_partial_fold")
+    t = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    ids = list(range(200))
+    # residue class of each id at depth 4 (same salt function as the table)
+    res = {
+        r["id"]: r["res"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .withColumn(
+            "res",
+            F.pmod(F.xxhash64(F.col("id"), F.lit("__salt__")), F.lit(4)).cast("int"),
+        )
+        .collect()
+    }
+    hot = [i for i in ids if res[i] == 0]
+    assert len(hot) > 5
+    # base covering ALL residues at S=4
+    t.merge_upsert(_rows(spark, ids, 0, "base"), keys=["id"], order_by=["seq"],
+                   batch_id=0, mode="cow")
+    # two delta batches touching ONLY residue-0 keys, then a fold at k=2
+    for b in (1, 2):
+        t.merge_upsert(_rows(spark, hot, b, "hot"), keys=["id"], order_by=["seq"],
+                       batch_id=b, mode="mor")
+    # the due set the fold will rewrite: residue 0 plus whatever the
+    # whole-file closure drags in via base-partition collisions — but NOT
+    # the full residue set (the fold is genuinely partial)
+    m0 = t.current_manifest()
+    S_b, due, _base_sel, _delta_sel = t._bucket_granule_plan(m0, "0", 2)
+    assert S_b == 4 and 0 in due and set(due) < set(range(4)), (S_b, due)
+    out = t.fold_due(k_fold=2)
+    assert not out.get("skipped"), out
+    m = t.current_manifest()
+    assert not m.get("deltas")  # the hot chain folded
+    # new files (this epoch) must claim residues in the due classes only
+    epoch = f"epoch={m['version']:010d}"
+    new_meta = {
+        f: ent
+        for f, ent in m["slice_meta"]["0"].items()
+        for full in m["files"]["0"]
+        if os.path.basename(full) == f and epoch in full
+    }
+    assert new_meta, m["files"]
+    for f, (S_f, residues) in new_meta.items():
+        for r in residues:
+            assert r % 4 in due, (f, S_f, residues, due)
+    # state unchanged: hot keys at seq 2, cold keys at seq 0
+    got = {r["id"]: r["seq"] for r in t.to_df().collect()}
+    assert all(got[i] == (2 if res[i] == 0 else 0) for i in ids)
