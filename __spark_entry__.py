@@ -407,7 +407,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus-unigram surprisal (CCNet-shape LM-quality proxy): per-token
         # -ln p quantized to an integer BEFORE summing (exact order-free
-        # distributed sum; only ONE transcendental per distinct token)
+        # distributed sum; only ONE transcendental per distinct token).
+        # quantum is a deliberately COARSE 1e4: ln is not correctly rounded
+        # in either engine, and a 1-ulp difference flips the floored value
+        # when x*Q lands near an integer — boundary density scales with Q
         "text_unigram_surprisal": f"""
             with tok as (
                 select doc_id, unnest({_WS_TOKENS}) as tk from documents
@@ -418,12 +421,12 @@ def oracle_sql() -> dict[str, str]:
             ), scored as (
                 select t.doc_id,
                        count(*) as n_tok,
-                       cast(sum(cast(floor(-ln(c.c / total.n) * 1000000) as bigint)) as bigint) as s6
+                       cast(sum(cast(floor(-ln(c.c / total.n) * 10000) as bigint)) as bigint) as s4
                 from tok t join corpus c using (tk) cross join total
                 group by t.doc_id
             )
             select doc_id, n_tok,
-                   floor(s6 / n_tok) / 1000000 as mean_surprisal
+                   floor(s4 / n_tok) / 10000 as mean_surprisal
             from scored
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token

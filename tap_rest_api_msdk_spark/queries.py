@@ -885,30 +885,37 @@ def q_text_unigram_surprisal(spark, sf_dir):
     distribution — low = boilerplate/common-token soup, high = rare-token
     noise; the standard perplexity-filter primitive without an external
     LM. Two aggregates (corpus counts, per-doc mean over a broadcast-ish
-    join on token); floor-truncated to 1e-4 so the single transcendental
-    ln stays cross-engine stable."""
+    join on token). The corpus total comes from sum(c) over the CACHED
+    counts aggregate — no second full corpus pass for one scalar.
+    Per-token surprisal is floor-truncated at 1e-4: a deliberately COARSE
+    quantum, because the quantized value flips when ln (the one
+    transcendental, not correctly rounded in either engine) lands within
+    1 ulp of a boundary — at 1e-4 the boundary density is 100x lower
+    than the previous 1e-6."""
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     tok = docs.select("doc_id", F.explode(tokens).alias("tok"))
-    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()  # one scalar; embedded as a literal in both engines
-    # per-token surprisal quantized to an INTEGER (floor(1e6 * -ln p))
+    # cached: computed once here, reused by the scored join below — the
+    # distinct-token table is tiny next to the token stream
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    total = corpus.agg(F.sum("c")).collect()[0][0]  # scalar, no 2nd pass
+    # per-token surprisal quantized to an INTEGER (floor(1e4 * -ln p))
     # before summing: the distributed sum is then exact and order-free —
     # a double sum would be partition-order-dependent (r1 lesson; same
     # device as the HLL/histogram sketches)
-    s_tok = F.floor(-F.log(F.col("c") / F.lit(float(total))) * 1e6).cast("long")
+    s_tok = F.floor(-F.log(F.col("c") / F.lit(float(total))) * 1e4).cast("long")
     scored = (
         tok.join(F.broadcast(corpus), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.sum(s_tok).alias("s6"),
+            F.sum(s_tok).alias("s4"),
         )
     )
     return scored.select(
         "doc_id",
         "n_tok",
-        (F.floor(F.col("s6") / F.col("n_tok")) / 1e6).alias("mean_surprisal"),
+        (F.floor(F.col("s4") / F.col("n_tok")) / 1e4).alias("mean_surprisal"),
     )
 
 
@@ -925,20 +932,44 @@ def q_substring_dup_rate(spark, sf_dir):
     npos = F.greatest(
         F.floor((F.length("text") - F.lit(W)) / F.lit(STRIDE)) + 1, F.lit(1)
     ).cast("int")
+    # window hashes are computed INSIDE the explode projection (transform
+    # over the position sequence, then explode the hash array): text never
+    # leaves its own row — no corpus self-join to recover it — and the
+    # exploded rows carry an 8-byte xxhash64 instead of the 40-char window
+    # string, cutting shuffle width ~5x (r3 verdict item #1)
     wins = docs.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), npos - 1)).alias("p"),
-    ).join(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        F.substring(F.col("text"), F.col("p") * STRIDE + 1, W).alias("win"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), npos - 1),
+                lambda p: F.xxhash64(
+                    F.substring(F.col("text"), p * F.lit(STRIDE) + 1, W)
+                ),
+            )
+        ).alias("wh"),
     )
-    df_counts = wins.groupBy("win").agg(F.count_distinct("doc_id").alias("df_"))
+    # ONE pass over the window table and TWO exchanges total: an explicit
+    # repartition on the window hash makes hashpartitioning(wh) satisfy
+    # BOTH downstream clusterings — the (wh, doc_id) aggregate (subset
+    # rule) and the per-wh document-frequency window — so neither inserts
+    # another exchange, no join, and the subtree is never computed twice
+    # (a groupBy+join df would re-evaluate the explode per join side).
+    # Skew note: a boilerplate window hot across 10^7 docs concentrates
+    # its (wh, doc_id) rows in one task; rows per wh are bounded by
+    # distinct docs containing that exact 40-char window, and the window
+    # aggregate is a count (no per-row state) — spill-safe.
+    from pyspark.sql import Window
+
+    whd = wins.repartition("wh").groupBy("wh", "doc_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dup = F.count(F.lit(1)).over(Window.partitionBy("wh")) >= 2
     per_doc = (
-        wins.join(df_counts, "win")
+        whd.withColumn("dup", dup)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.sum("k").alias("n_windows"),
+            F.sum(F.when(F.col("dup"), F.col("k")).otherwise(0)).alias("n_dup"),
         )
     )
     return per_doc.select(

@@ -192,3 +192,27 @@ def test_round3_queries_python_free_and_shaped(spark):
     # stratified sampling is one partial-agg pass, no join at all
     plan = plan_of(QUERIES["sample_stratified"](spark, SF_DIR))
     assert "Join" not in plan and "partial_" in plan
+
+
+def test_substring_dup_rate_no_corpus_self_join(spark):
+    """r3 verdict item #1: the window table must come straight out of the
+    explode projection (text carried in-row, windows pre-hashed) — no join
+    back to documents on doc_id, and no 40-char string shuffle key."""
+    plan = plan_of(QUERIES["substring_dup_rate"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # no join AT ALL: windows are pre-hashed in the explode projection and
+    # the df flag is a count over the per-wh window partition
+    assert "Join" not in plan, plan
+    # one corpus scan, two exchanges (wh repartition + final doc_id agg)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "xxhash64" in plan  # 8-byte shuffle key, not the 40-char window
+    assert "partial_" in plan
+
+
+def test_unigram_surprisal_single_corpus_pass_shape(spark):
+    """r3 verdict item #7: no tok.count() job — the total folds out of the
+    cached counts aggregate; the scoring join broadcasts the counts."""
+    plan = plan_of(QUERIES["text_unigram_surprisal"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
