@@ -210,3 +210,86 @@ def test_partial_fold_claims_only_due_residues(spark, tmp_path):
     # state unchanged: hot keys at seq 2, cold keys at seq 0
     got = {r["id"]: r["seq"] for r in t.to_df().collect()}
     assert all(got[i] == (2 if res[i] == 0 else 0) for i in ids)
+
+
+def _mkrows(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), int(s), op, tx) for i, s, op, tx in rows],
+        "id long, seq long, op string, text string",
+    )
+
+
+def _ref_diff(t, v_from, v_to):
+    """Driver-side reference changelog: full-snapshot before/after states
+    compared key by key — the semantics cdc_diff's delta walk must match
+    byte-for-byte."""
+    def state(v):
+        df = t.to_df(drop_deletes=True, version=v)
+        return {r["id"]: (r["seq"], r["op"], r["text"]) for r in df.collect()}
+
+    b, a = state(v_from), state(v_to)
+    out = {}
+    for k in set(b) | set(a):
+        if k not in b:
+            out[k] = ("insert", None, a[k])
+        elif k not in a:
+            out[k] = ("delete", b[k], None)
+        elif b[k] != a[k]:
+            out[k] = ("update", b[k], a[k])
+    return out
+
+
+def test_cdc_diff_delta_walk_matches_full_diff_mixed_modes(spark, tmp_path):
+    """cdc_diff over a mixed cow/mor/cow_incremental history must equal the
+    full-snapshot reference diff for every (from, to) window."""
+    import random
+
+    rng = random.Random(42)
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=8)
+    t.fold_every = 2
+    modes = ["cow", "mor", "cow_incremental"]
+    versions = []
+    for b in range(9):
+        rows = []
+        for _ in range(rng.randint(5, 25)):
+            k = rng.randint(0, 120)
+            op = "delete" if rng.random() < 0.15 else "upsert"
+            rows.append((k, b * 100 + rng.randint(0, 99), op, f"b{b}-k{k}"))
+        t.merge_upsert(_mkrows(spark, rows), keys=["id"], order_by=["seq"],
+                       batch_id=b, op_col="op", mode=rng.choice(modes))
+        versions.append(t.current_manifest()["version"])
+    for v_from in (versions[0], versions[3], versions[7], versions[8]):
+        got = {
+            r["id"]: (
+                r["change"],
+                None if r["before"] is None else (r["before"]["seq"], r["before"]["op"], r["before"]["text"]),
+                None if r["after"] is None else (r["after"]["seq"], r["after"]["op"], r["after"]["text"]),
+            )
+            for r in t.cdc_diff(v_from).collect()
+        }
+        assert got == _ref_diff(t, v_from, versions[-1]), f"window {v_from}"
+
+
+def test_cdc_diff_scans_only_changed_granules(spark, tmp_path):
+    """A 3-key update on a 2000-key table must scan the touched buckets'
+    files only — O(changed granules), not O(table)."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=16)
+    t.merge_upsert(
+        _mkrows(spark, [(i, 0, "upsert", f"v0-{i}") for i in range(2000)]),
+        keys=["id"], order_by=["seq"], batch_id=0, op_col="op",
+    )
+    v0 = t.current_manifest()["version"]
+    t.merge_upsert(_mkrows(spark, [(7, 1, "upsert", "v1-7"),
+                                   (11, 1, "upsert", "v1-11"),
+                                   (13, 1, "delete", "")]),
+                   keys=["id"], order_by=["seq"], batch_id=1, op_col="op",
+                   mode="mor")
+    diff = {r["id"]: r["change"] for r in t.cdc_diff(v0).collect()}
+    assert diff == {7: "update", 11: "update", 13: "delete"}
+    plan = t.last_cdc_diff_plan
+    assert len(plan["touched"]) <= 3          # at most one bucket per key
+    assert plan["scanned_files"] < plan["total_files"], plan
+    # untouched windows are free: diff of current vs current plans nothing
+    v1 = t.current_manifest()["version"]
+    assert t.cdc_diff(v1).count() == 0
+    assert t.last_cdc_diff_plan["scanned_files"] == 0
