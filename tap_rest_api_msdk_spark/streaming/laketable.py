@@ -171,12 +171,48 @@ class LakeTable:
     def _pointer_path(self) -> str:
         return os.path.join(self.path, LATEST_POINTER)
 
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifests", f"v{version:010d}.json")
+
     def current_manifest(self) -> Optional[dict]:
-        """Highest committed snapshot. Source of truth is the manifests/
-        directory (each version file is the atomic commit point under the
-        multi-writer CAS protocol); ``_latest.json`` is only a best-effort
-        cache. Unparseable top files (a crashed legacy writer's partial
-        write) are skipped downward."""
+        """Highest committed snapshot in O(1 + pointer lag) reads.
+
+        Source of truth is the manifests/ directory (each version file is
+        the atomic commit point under the multi-writer CAS protocol);
+        ``_latest.json`` is a best-effort HEAD HINT swung after every
+        publish. Resolution probes FORWARD from the hint version with
+        existence checks until the next version is absent — the pointer
+        lags only across a writer crash between link and pointer swing,
+        or a lost pointer-rename race, both bounded by in-flight writers,
+        so HEAD cost is independent of the table's commit count (the r3
+        verdict's O(versions) directory listing is the fallback, used
+        only when the hint is missing/stale-beyond-repair).
+        ``last_head_reads`` records the probe count for accounting."""
+        hint_v = None
+        try:
+            with open(self._pointer_path()) as fh:
+                hint = json.load(fh)
+            if isinstance(hint, dict) and isinstance(hint.get("version"), int):
+                hint_v = hint["version"]
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass
+        if hint_v is not None and os.path.exists(self._manifest_path(hint_v)):
+            v, probes = hint_v, 1
+            while os.path.exists(self._manifest_path(v + 1)):
+                v += 1
+                probes += 1
+            try:
+                with open(self._manifest_path(v)) as fh:
+                    out = json.load(fh)
+                self.last_head_reads = probes + 1
+                return out
+            except (json.JSONDecodeError, OSError):
+                pass  # fall through to the listing
+        return self._current_manifest_by_listing()
+
+    def _current_manifest_by_listing(self) -> Optional[dict]:
+        """O(versions) fallback: list manifests/ and walk downward past
+        unparseable top files (a crashed legacy writer's partial write)."""
         mdir = os.path.join(self.path, "manifests")
         try:
             names = sorted(
@@ -185,6 +221,7 @@ class LakeTable:
             )
         except FileNotFoundError:
             names = []
+        self.last_head_reads = len(names) + 1
         for name in names:
             try:
                 with open(os.path.join(mdir, name)) as fh:
@@ -1496,6 +1533,34 @@ class LakeTable:
                     removed += 1
             if not os.listdir(full):
                 os.rmdir(full)
+        return removed
+
+    def expire_manifests(self, retain_last: int = 100) -> int:
+        """Metadata-log compaction (Iceberg expire-snapshots analog for the
+        manifest log): delete manifest files older than the last
+        ``retain_last`` versions. Bounds manifests/ growth at high commit
+        counts — the HEAD hint already makes resolution O(1), but
+        maintenance scans (vacuum's retention loop, the listing fallback)
+        stay proportional to the files kept. Time travel, ``cdc_diff``
+        and ``changes_since`` windows older than the retained log raise
+        their existing retained-snapshots errors. Returns the number of
+        manifest files removed."""
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        cutoff = m["version"] - max(1, retain_last) + 1
+        mdir = os.path.join(self.path, "manifests")
+        removed = 0
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v < cutoff:
+                os.remove(os.path.join(mdir, name))
+                removed += 1
         return removed
 
     def register_view(self, name: str, drop_deletes: bool = True) -> str:

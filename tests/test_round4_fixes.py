@@ -293,3 +293,53 @@ def test_cdc_diff_scans_only_changed_granules(spark, tmp_path):
     v1 = t.current_manifest()["version"]
     assert t.cdc_diff(v1).count() == 0
     assert t.last_cdc_diff_plan["scanned_files"] == 0
+
+
+def test_head_resolution_is_o1_at_high_commit_count(spark, tmp_path):
+    """10^4 synthetic commits: current_manifest() must resolve HEAD with a
+    handful of reads (hint + forward probes), not an O(versions) listing;
+    a lagging pointer heals by probing forward."""
+    path = str(tmp_path / "tbl_head")
+    t = LakeTable(spark, path, num_buckets=2)
+    t.merge_upsert(_rows(spark, [1], 0, "x"), keys=["id"], order_by=["seq"],
+                   batch_id=0)
+    base = t.current_manifest()
+    # synthesize 10_000 successor manifests driver-side (same file protocol)
+    for v in range(1, 10_001):
+        m = {**base, "version": v}
+        with open(t._manifest_path(v), "w") as fh:
+            json.dump(m, fh)
+    # fresh pointer at HEAD
+    with open(t._pointer_path(), "w") as fh:
+        json.dump({**base, "version": 10_000}, fh)
+    assert t.current_manifest()["version"] == 10_000
+    assert t.last_head_reads <= 3
+    # pointer lagging 5 versions (crashed writer / lost pointer race)
+    with open(t._pointer_path(), "w") as fh:
+        json.dump({**base, "version": 9_995}, fh)
+    assert t.current_manifest()["version"] == 10_000
+    assert t.last_head_reads <= 8
+    # no pointer at all: the O(versions) listing fallback still resolves
+    os.remove(t._pointer_path())
+    assert t.current_manifest()["version"] == 10_000
+    assert t.last_head_reads > 1000
+
+
+def test_expire_manifests_bounds_log_and_keeps_head(spark, tmp_path):
+    path = str(tmp_path / "tbl_expire")
+    t = LakeTable(spark, path, num_buckets=2)
+    for b in range(6):
+        t.merge_upsert(_rows(spark, [1, 2], b, f"b{b}"), keys=["id"],
+                       order_by=["seq"], batch_id=b, mode="mor")
+    head = t.current_manifest()["version"]
+    removed = t.expire_manifests(retain_last=2)
+    assert removed == head - 1  # versions 0..head-2 dropped
+    assert t.current_manifest()["version"] == head
+    assert t.manifest_at(head - 1) is not None
+    assert t.manifest_at(0) is None  # expired: time travel window closed
+    assert t.to_df(version=0) is None
+    # table still fully readable and writable after metadata compaction
+    assert {r["id"] for r in t.to_df().collect()} == {1, 2}
+    t.merge_upsert(_rows(spark, [3], 9, "post"), keys=["id"], order_by=["seq"],
+                   batch_id=9, mode="mor")
+    assert {r["id"] for r in t.to_df().collect()} == {1, 2, 3}
