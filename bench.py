@@ -244,7 +244,10 @@ def main() -> None:
             swal = s.read.parquet(wal_shred_path)
             sschema = swal.schema["payload"].dataType
             steady = {}
-            for mode in ("cow", "cow_incremental", "mor"):
+            # cow_incremental_size = same sink, LSM size-tiered fold
+            # scheduling (fold when pending delta bytes reach 25% of the
+            # granule base) instead of the delta-chain-length trigger
+            for mode in ("cow", "cow_incremental", "cow_incremental_size", "mor"):
                 tpath = os.path.join(base, f"steady_{mode}")
                 table = LakeTable(s, tpath, num_buckets=64)
                 conf = PipelineConfig(
@@ -252,7 +255,12 @@ def main() -> None:
                     num_buckets=64, sink_mode="cow",
                 )
                 process_batch(table, conf, swal.filter(F.col("seq") <= n_boot), 0)
-                conf.sink_mode = mode
+                if mode == "cow_incremental_size":
+                    conf.sink_mode = "cow_incremental"
+                    conf.fold_trigger = "size"
+                    conf.fold_size_ratio = 0.25
+                else:
+                    conf.sink_mode = mode
                 t0 = time.time()
                 for i in range(n_tail // batch_sz):
                     lo = n_boot + i * batch_sz

@@ -103,7 +103,7 @@ def bucket_salt_to_partition(bucket: int, salt: int, num_partitions: int) -> int
 _MANIFEST_CORE_KEYS = frozenset({
     "version", "batch_id", "batch_ids", "committed_at", "schema", "files",
     "deltas", "slice_meta", "bookmarks", "num_buckets", "keys", "order_by",
-    "op_col", "fold_round",
+    "op_col", "fold_round", "file_owners", "file_bytes",
 })
 
 
@@ -128,6 +128,18 @@ class LakeTable:
         # 10 matches the usual lakehouse delta-commits-per-compaction
         # default (sweep in BENCH/BASELINE.md)
         self.fold_every = 10
+        # fold_trigger="size" switches to LSM size-tiered scheduling: a
+        # granule folds when its pending delta BYTES reach
+        # max(fold_min_bytes, fold_size_ratio * granule base bytes) —
+        # better under Zipf-skewed writes, where a cold granule's delta
+        # COUNT can hit fold_every while carrying trivial bytes (needless
+        # rewrite) and a hot granule's few huge deltas should fold sooner.
+        # File bytes come from the manifest's maintained file_bytes map;
+        # a delta file without a recorded size (legacy commits) counts as
+        # fold_min_bytes so upgraded tables still make fold progress.
+        self.fold_trigger = "commits"
+        self.fold_size_ratio = 0.5
+        self.fold_min_bytes = 1 << 20
         # merge shuffle width is DECOUPLED from the bucket count: each
         # bucket may be written as up to ``files_per_bucket`` files, split
         # by a key-salt, so a 16-bucket table still merges with cores-scale
@@ -504,6 +516,48 @@ class LakeTable:
         return files, meta
 
     @staticmethod
+    def _with_file_index(
+        manifest: dict, new_sizes: Optional[dict] = None, cur: Optional[dict] = None
+    ) -> dict:
+        """Finalize a manifest's file index (r3 verdict item #8):
+
+        * ``file_owners`` — basename -> sorted bucket ids referencing it,
+          the reverse map the fold's ownership fast path needs; deriving
+          it here is O(files-in-manifest), the same order as serializing
+          the manifest itself, so fold PLANNING no longer pays an extra
+          all-sections pass per fold.
+        * ``file_bytes`` — basename -> on-disk bytes (recorded at write
+          time), the input to size-tiered fold scheduling; entries for
+          files no longer referenced are pruned, so the map tracks the
+          live file set exactly.
+        """
+        owners: dict[str, set] = {}
+        for section in ("files", "deltas"):
+            for b, flist in manifest.get(section, {}).items():
+                for f in flist:
+                    owners.setdefault(os.path.basename(f), set()).add(int(b))
+        merged = {
+            **(cur or {}).get("file_bytes", {}),
+            **manifest.get("file_bytes", {}),
+            **(new_sizes or {}),
+        }
+        manifest["file_owners"] = {f: sorted(bs) for f, bs in owners.items()}
+        manifest["file_bytes"] = {f: merged[f] for f in owners if f in merged}
+        return manifest
+
+    @staticmethod
+    def _sizes_of(by_index: dict) -> dict:
+        """basename -> bytes for a write job's output files (driver-side
+        stat of files this process just wrote — no extra Spark job)."""
+        out = {}
+        for f in by_index.values():
+            try:
+                out[os.path.basename(f)] = os.path.getsize(f)
+            except OSError:
+                pass
+        return out
+
+    @staticmethod
     def _merged_extra(cur: Optional[dict], extra_manifest: Optional[dict]) -> dict:
         """Extra-manifest keys for one commit. DICT-valued keys merge
         shallowly with the current snapshot's value (ours win per entry) —
@@ -772,6 +826,7 @@ class LakeTable:
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
         our_files, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
+        our_sizes = self._sizes_of(by_index)
 
         def assemble(cur: Optional[dict]):
             if cur is not m:
@@ -821,7 +876,7 @@ class LakeTable:
                 deltas.pop(str(b), None)  # folded into the new base
             bookmarks = dict(cur.get("bookmarks", {})) if cur else {}
             bookmarks.update(bookmark_updates or {})
-            return {
+            return self._with_file_index({
                 # carry foreign extra keys (another writer's custom fields)
                 # through rebases; ours overlay below
                 **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
@@ -839,7 +894,7 @@ class LakeTable:
                 "op_col": op_col,
                 "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
                 **self._merged_extra(cur, extra_manifest),
-            }
+            }, our_sizes, cur)
 
         committed = self._try_commit(m, assemble)
         if committed is None:
@@ -896,6 +951,7 @@ class LakeTable:
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
         our_deltas, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
+        our_sizes = self._sizes_of(by_index)
 
         def assemble(cur: Optional[dict]):
             if cur is not m and int(self._ledger(cur).get(writer_id, -1)) >= batch_id:
@@ -935,7 +991,7 @@ class LakeTable:
                 slice_meta[b_str] = {**slice_meta.get(b_str, {}), **our_meta[b_str]}
             bookmarks = dict(cur.get("bookmarks", {})) if cur else {}
             bookmarks.update(bookmark_updates or {})
-            return {
+            return self._with_file_index({
                 # carry foreign extra keys (another writer's custom fields)
                 # through rebases; ours overlay below
                 **{k_: v for k_, v in (cur or {}).items() if k_ not in _MANIFEST_CORE_KEYS},
@@ -953,7 +1009,7 @@ class LakeTable:
                 "op_col": op_col,
                 "fold_round": int(cur.get("fold_round", 0)) if cur else 0,
                 **self._merged_extra(cur, extra_manifest),
-            }
+            }, our_sizes, cur)
 
         committed = self._try_commit(m, assemble)
         if committed is None:
@@ -1256,11 +1312,55 @@ class LakeTable:
                 return set(range(S_b))  # legacy file: spans the bucket
             return {int(r) % S_b for r in ent[1]}
 
-        delta_count = {r: 0 for r in range(S_b)}
-        for f in dfiles:
-            for r in residues(f):
-                delta_count[r] += 1
-        due = {r for r in range(S_b) if delta_count[r] >= k}
+        if self.fold_trigger == "size":
+            # LSM size-tiered: pending delta bytes vs granule base bytes.
+            # A file's bytes are apportioned uniformly across EVERY
+            # granule claim it carries — including other buckets' claims
+            # when partition-index collisions made the file shared
+            # (row-group stats would refine this; the approximation is
+            # unbiased for hash-salted slices). Attribution noise from
+            # sharing is acceptable: folding any granule of a shared file
+            # consumes the whole file anyway (whole-file closure), so
+            # co-resident granules fold together regardless of trigger.
+            fbytes = m.get("file_bytes", {})
+            owners_map = m.get("file_owners", {})
+            all_meta = m.get("slice_meta", {})
+
+            def per_residue_bytes(f, default):
+                bn = os.path.basename(f)
+                sz = fbytes.get(bn, default)
+                rs = residues(f)
+                ent_b = bmeta.get(bn)
+                claims_b = len(ent_b[1]) if ent_b else 1
+                total_claims = 0
+                for ob in owners_map.get(bn, [int(b_str)]):
+                    ent = all_meta.get(str(ob), {}).get(bn)
+                    total_claims += len(ent[1]) if ent else 1
+                share_b = sz * claims_b / max(total_claims, claims_b)
+                return rs, share_b / max(1, len(rs))
+
+            base_bytes = {r: 0.0 for r in range(S_b)}
+            delta_bytes = {r: 0.0 for r in range(S_b)}
+            for f in base_files:
+                rs, share = per_residue_bytes(f, 0)
+                for r in rs:
+                    base_bytes[r] += share
+            for f in dfiles:
+                rs, share = per_residue_bytes(f, self.fold_min_bytes)
+                for r in rs:
+                    delta_bytes[r] += share
+            due = {
+                r
+                for r in range(S_b)
+                if delta_bytes[r]
+                >= max(self.fold_min_bytes, self.fold_size_ratio * base_bytes[r])
+            }
+        else:
+            delta_count = {r: 0 for r in range(S_b)}
+            for f in dfiles:
+                for r in residues(f):
+                    delta_count[r] += 1
+            due = {r for r in range(S_b) if delta_count[r] >= k}
         if not due:
             return None
         while True:  # whole-file closure
@@ -1314,11 +1414,17 @@ class LakeTable:
         # per-row semi-join is unnecessary. Always true when a uniform
         # write pattern folds every bucket at once (the steady-state CDC
         # shape); the join only runs for partial folds of shared files.
-        owners: dict[str, set] = {}
-        for section in ("files", "deltas"):
-            for b, flist in m.get(section, {}).items():
-                for f in flist:
-                    owners.setdefault(os.path.basename(f), set()).add(int(b))
+        # The reverse map is MAINTAINED in the manifest (file_owners,
+        # r3 verdict item #8) so planning touches only the selected files;
+        # legacy manifests without it derive the map once here.
+        owners: dict[str, set] = {
+            f: set(bs) for f, bs in m.get("file_owners", {}).items()
+        }
+        if not owners:
+            for section in ("files", "deltas"):
+                for b, flist in m.get(section, {}).items():
+                    for f in flist:
+                        owners.setdefault(os.path.basename(f), set()).add(int(b))
         selected = set(pairs)
         fully_selected = all(
             (fname, b) in selected
@@ -1369,6 +1475,7 @@ class LakeTable:
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        new_sizes = self._sizes_of(by_index)
         # claim ONLY the residues this fold actually rewrote (due granules,
         # lifted from depth S_b to the write depth S_w) — see _files_and_meta
         allowed = {
@@ -1409,14 +1516,14 @@ class LakeTable:
                     if f not in keep_base and f not in left:
                         bmeta.pop(base_name, None)
                 slice_meta[b_str] = {**bmeta, **new_meta[b_str]}
-            return {
+            return self._with_file_index({
                 **{k_: v for k_, v in cur.items() if k_ != "version"},
                 "files": files,
                 "deltas": deltas,
                 "slice_meta": slice_meta,
                 "fold_round": int(cur.get("fold_round", round_)) + 1,
                 "committed_at": time.time(),
-            }
+            }, new_sizes)
 
         committed = self._try_commit(m, assemble)
         if committed is None:
@@ -1485,10 +1592,10 @@ class LakeTable:
         files, slice_meta = self._files_and_meta(
             range(self.num_buckets), S, k_parts, by_index
         )
-        manifest = {
+        manifest = self._with_file_index({
             **m, "version": epoch, "files": files, "deltas": {},
             "slice_meta": slice_meta, "committed_at": time.time(),
-        }
+        }, self._sizes_of(by_index))
         if not self._publish(manifest):
             return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}

@@ -72,6 +72,13 @@ class PipelineConfig:
     sink_mode: str = "cow"
     auto_compact_every: Optional[int] = None
     fold_every: Optional[int] = None  # cow_incremental stagger (None = table default)
+    # cow_incremental fold scheduling: "commits" (delta-chain length, the
+    # Hudi NUM_COMMITS trigger) or "size" (LSM size-tiered: pending delta
+    # bytes vs granule base bytes — cold granules with trivial-byte deltas
+    # never rewrite under Zipf-skewed write patterns)
+    fold_trigger: Optional[str] = None  # None = table default ("commits")
+    fold_size_ratio: Optional[float] = None
+    fold_min_bytes: Optional[int] = None
     # malformed payloads (unparseable JSON -> null struct after from_json):
     # "keep" emits all-null flattened fields (the tap's permissive shape),
     # "drop" filters them, "dlq" additionally lands the raw rows in a
@@ -290,6 +297,12 @@ def process_batch(
     batch_rows = sum(r["event_count"] for r in mrows)
     if conf.fold_every:
         table.fold_every = conf.fold_every
+    if conf.fold_trigger:
+        table.fold_trigger = conf.fold_trigger
+    if conf.fold_size_ratio is not None:
+        table.fold_size_ratio = conf.fold_size_ratio
+    if conf.fold_min_bytes is not None:
+        table.fold_min_bytes = conf.fold_min_bytes
     stats = table.merge_upsert(
         shaped,
         keys=conf.keys,
