@@ -585,6 +585,97 @@ class LakeTable:
                     touched.add(int(b))
         return touched
 
+    def _cow_granule_plans(self, m: dict, foot: dict):
+        """Granular-COW plan (r3 verdict item #5): per touched bucket, the
+        granule depth ``S_b``, the CLOSED touched residue set, and the
+        base/delta files this commit consumes (rewrites). Buckets with no
+        existing files plan at the write depth (pure inserts, nothing
+        consumed). The whole-file closure mirrors ``_bucket_granule_plan``:
+        a file spanning a touched and an untouched granule drags the other
+        granule in, so commits always consume whole files."""
+        raw = {}
+        for b, s64s in foot.items():
+            b_str = str(b)
+            base_files = m.get("files", {}).get(b_str, [])
+            dfiles = m.get("deltas", {}).get(b_str, [])
+            bmeta = m.get("slice_meta", {}).get(b_str, {})
+            all_files = list(base_files) + list(dfiles)
+            if not all_files:
+                raw[b] = None  # finalized once S_w is known
+                continue
+
+            def depth(f):
+                ent = bmeta.get(os.path.basename(f))
+                return int(ent[0]) if ent else 1
+
+            S_b = min(depth(f) for f in all_files)
+
+            def residues(f):
+                ent = bmeta.get(os.path.basename(f))
+                if not ent:
+                    return set(range(S_b))  # legacy file: whole bucket
+                return {int(r) % S_b for r in ent[1]}
+
+            touched = {s % S_b for s in s64s}
+            while True:  # whole-file closure
+                pulled = set()
+                for f in all_files:
+                    rs = residues(f)
+                    if rs & touched:
+                        pulled |= rs
+                if pulled <= touched:
+                    break
+                touched |= pulled
+            raw[b] = (
+                S_b,
+                touched,
+                [f for f in base_files if residues(f) & touched],
+                [f for f in dfiles if residues(f) & touched],
+            )
+        S_w = max(
+            [self._fpb(len(foot))] + [p[0] for p in raw.values() if p is not None]
+        )
+        plans = {}
+        for b, p in raw.items():
+            if p is None:
+                plans[b] = (S_w, {s % S_w for s in foot[b]}, [], [])
+            else:
+                plans[b] = p
+        return plans, S_w
+
+    @classmethod
+    def _cow_granular_rebase_ok(cls, m: dict, cur: dict, plans: dict) -> bool:
+        """Can a granular-COW commit rebase onto ``cur`` without recompute?
+
+        Yes iff, per planned bucket: every file we consumed is still
+        referenced by ``cur`` (an intervening fold/compact/COW didn't eat
+        it), and no intervening commit added a BASE file intersecting our
+        touched granules (its merged content would be lost under our
+        rewrite). Intervening DELTA files in our granules are fine — they
+        are later batches and stay pending; LWW over (our new base ∪
+        delta) reaches the same fixpoint regardless of arrival order."""
+        for b, (S_b, touched, cb, cd) in plans.items():
+            b_str = str(b)
+            cur_base = cur.get("files", {}).get(b_str, [])
+            cur_deltas = cur.get("deltas", {}).get(b_str, [])
+            if not set(cb) <= set(cur_base):
+                return False
+            if not set(cd) <= set(cur_deltas):
+                return False
+            m_base = set(m.get("files", {}).get(b_str, []))
+            cmeta = cur.get("slice_meta", {}).get(b_str, {})
+            for f in cur_base:
+                if f in m_base or f in set(cb):
+                    continue
+                ent = cmeta.get(os.path.basename(f))
+                if ent and int(ent[0]) >= S_b:
+                    rs = {int(r) % S_b for r in ent[1]}
+                else:
+                    rs = set(range(S_b))  # unknown claims: assume overlap
+                if rs & touched:
+                    return False
+        return True
+
     #: sentinel an ``assemble`` closure returns when, on a CAS rebase, the
     #: fresh snapshot shows the batch was ALREADY committed (a zombie /
     #: failover duplicate of the same writer won the race) — the commit
@@ -744,10 +835,25 @@ class LakeTable:
 
         batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
 
+        foot = None
         if affected_buckets is not None:
             # caller already knows the touched buckets (e.g. from its
             # lineage-metrics pass) — skip the extra distinct scan
             affected = [int(b) for b in affected_buckets]
+        elif mode == "cow" and m is not None:
+            # (bucket, slice)-granular COW (r3 verdict item #5): the SAME
+            # distinct scan that used to collect buckets now collects the
+            # (bucket, slice64) footprint, so the commit can rewrite only
+            # the granules the batch touches — and two COW writers hitting
+            # disjoint slices of one bucket both land without recompute
+            s64 = F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")),
+                F.lit(SLICE_MOD),
+            ).cast("int")
+            foot = {}
+            for r in batch.select("__bucket", s64.alias("__s64")).distinct().collect():
+                foot.setdefault(int(r[0]), set()).add(int(r[1]))
+            affected = sorted(foot)
         else:
             affected = [int(r[0]) for r in batch.select("__bucket").distinct().collect()]
 
@@ -766,7 +872,41 @@ class LakeTable:
                 out["mode"] = "cow_incremental"
             return out
 
-        if m:
+        plans = S_w = None
+        if m and foot is not None:
+            # granular COW: read ONLY the consumed files (the granules the
+            # batch touches, closed over shared files) instead of whole
+            # buckets; untouched granules' files carry forward untouched
+            plans, S_w = self._cow_granule_plans(m, foot)
+            files_needed: set = set()
+            own_pairs: list = []
+            for b, (S_b, touched, cb, cd) in plans.items():
+                for f in cb + cd:
+                    files_needed.add(f)
+                    own_pairs.append((os.path.basename(f), b))
+            if files_needed:
+                stored = T.StructType(
+                    (old_schema or new_schema).fields
+                    + [T.StructField("__bucket", T.IntegerType(), True)]
+                )
+                ex = self.spark.read.schema(stored).parquet(*sorted(files_needed))
+                lookup = self.spark.createDataFrame(
+                    sorted(set(own_pairs)), "__file string, __owned_bucket int"
+                )
+                ex = ex.withColumn(
+                    "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                ex = ex.join(
+                    F.broadcast(lookup),
+                    (ex["__file"] == lookup["__file"])
+                    & (ex["__bucket"] == lookup["__owned_bucket"]),
+                    "leftsemi",
+                ).drop("__file", "__bucket")
+                ex_aligned = align(ex).withColumn("__bucket", self._bucket_col(keys))
+                all_rows = ex_aligned.unionByName(batch)
+            else:
+                all_rows = batch
+        elif m:
             existing = self.read(buckets=affected).drop("__bucket")
             # re-derive the bucket after align (same pure function of keys)
             ex_aligned = align(existing).withColumn("__bucket", self._bucket_col(keys))
@@ -789,7 +929,7 @@ class LakeTable:
         # operators/dedup.lww_dedup_salted pre-shrinks such batches first.
         from pyspark.sql import Window
 
-        S = self._fpb(len(affected))
+        S = S_w if S_w is not None else self._fpb(len(affected))
         k_parts = max(1, len(affected) * S)
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
@@ -825,7 +965,17 @@ class LakeTable:
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
 
-        our_files, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
+        allowed = (
+            None
+            if plans is None
+            else {
+                b: {s for s in range(S) if s % S_b in touched}
+                for b, (S_b, touched, _cb, _cd) in plans.items()
+            }
+        )
+        our_files, our_meta = self._files_and_meta(
+            affected, S, k_parts, by_index, allowed=allowed
+        )
         our_sizes = self._sizes_of(by_index)
 
         def assemble(cur: Optional[dict]):
@@ -836,11 +986,14 @@ class LakeTable:
                 # REGRESS the ledger and let a later replay apply twice
                 if self._last_for(cur, writer_id) >= batch_id:
                     return self._SKIP
-                # lost the CAS: our rewritten bucket files embody the OLD
-                # base — they stay valid iff no intervening commit touched
-                # any of our buckets (and key types didn't drift); else the
-                # whole merge recomputes against the fresh snapshot
-                if self._buckets_touched(m, cur) & set(affected):
+                # lost the CAS: our rewritten files embody the OLD state of
+                # the granules we consumed — conflict detection is
+                # (bucket, slice)-granular when we planned granularly
+                # (plans is not None), bucket-granular otherwise
+                if plans is None:
+                    if self._buckets_touched(m, cur) & set(affected):
+                        return None
+                elif not self._cow_granular_rebase_ok(m, cur, plans):
                     return None
                 cur_schema = (
                     T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
@@ -870,10 +1023,30 @@ class LakeTable:
             files = dict(cur["files"]) if cur else {}
             deltas = dict(cur.get("deltas", {})) if cur else {}
             slice_meta = dict(cur.get("slice_meta", {})) if cur else {}
-            files.update(our_files)
-            slice_meta.update(our_meta)
-            for b in affected:
-                deltas.pop(str(b), None)  # folded into the new base
+            if plans is None:
+                # whole-bucket COW: replace the bucket's file set wholesale
+                files.update(our_files)
+                slice_meta.update(our_meta)
+                for b in affected:
+                    deltas.pop(str(b), None)  # folded into the new base
+            else:
+                # granular COW: swap ONLY the consumed files; untouched
+                # granules' files (and deltas landed since our snapshot in
+                # OUR granules — newer batches, LWW-safe as pending
+                # deltas) carry forward
+                for b, (S_b, touched, cb, cd) in plans.items():
+                    b_str = str(b)
+                    keep_base = [f for f in files.get(b_str, []) if f not in set(cb)]
+                    files[b_str] = keep_base + our_files.get(b_str, [])
+                    left = [f for f in deltas.get(b_str, []) if f not in set(cd)]
+                    if left:
+                        deltas[b_str] = left
+                    else:
+                        deltas.pop(b_str, None)
+                    bmeta = dict(slice_meta.get(b_str, {}))
+                    for f in cb + cd:
+                        bmeta.pop(os.path.basename(f), None)
+                    slice_meta[b_str] = {**bmeta, **our_meta.get(b_str, {})}
             bookmarks = dict(cur.get("bookmarks", {})) if cur else {}
             bookmarks.update(bookmark_updates or {})
             return self._with_file_index({

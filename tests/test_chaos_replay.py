@@ -67,6 +67,26 @@ def test_chaos_replay_reconverges(spark, wal, tmp_path, seed):
         if rng.random() < 0.5:
             # duplicate delivery of the SAME batch id (replay after crash)
             process_batch(table, conf, batch, i)
+        if ps is not None and rng.random() < 0.4:
+            # granular-COW audit writer: re-applies a random earlier slice
+            # DIRECTLY through merge_upsert (no affected_buckets, so the
+            # (bucket, slice)-granular COW path plans/consumes files);
+            # replaying already-applied events is LWW-idempotent, so the
+            # oracle stays unchanged while the granular bookkeeping mixes
+            # with every other mode's commits
+            from tap_rest_api_msdk_spark.streaming.pipeline import prepare_batch
+
+            s2, e2 = slices[rng.randrange(0, i + 1)]
+            dup = wal_df.filter((F.col("seq") > s2) & (F.col("seq") <= e2))
+            conf2 = PipelineConfig(
+                stream="audit", payload_col="payload",
+                payload_schema=ps, num_buckets=8,
+            )
+            table.merge_upsert(
+                prepare_batch(dup, conf2, None),
+                keys=conf2.keys, order_by=conf2.order_by, op_col=conf2.op_col,
+                batch_id=1000 + i, mode="cow", writer_id="audit",
+            )
         if rng.random() < 0.4:
             # restart: a fresh handle must resume from the manifest alone
             table = LakeTable(spark, path, num_buckets=8)

@@ -418,3 +418,91 @@ def test_size_tiered_folds_hot_granules_spare_cold(spark, tmp_path):
     }
     assert all(got[i] >= 1 for i in touched_cold)
     assert all(got[i] == 0 for i in ids if i not in hot and i not in touched_cold)
+
+
+def test_disjoint_slice_cow_writers_both_land_without_recompute(spark, tmp_path):
+    """r3 verdict item #5: two COW writers touching DISJOINT slices of the
+    SAME bucket interleave without recompute — the loser's rebase is
+    metadata-only because its consumed files survive and the winner's new
+    base files claim non-overlapping granules."""
+    path = str(tmp_path / "tbl_slice_cow")
+    t = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    ids = list(range(400))
+    res = {
+        r["id"]: r["res"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .withColumn(
+            "res",
+            F.pmod(F.xxhash64(F.col("id"), F.lit("__salt__")), F.lit(4)).cast("int"),
+        )
+        .collect()
+    }
+    t.merge_upsert(_rows(spark, ids, 0, "base"), keys=["id"], order_by=["seq"],
+                   batch_id=0, mode="cow")
+
+    # base files at depth 4 pair residues {0,2} and {1,3} (partition-index
+    # collisions at k_parts=4): writer A touches residue 0, writer B
+    # residue 1 — closed granule sets {0,2} vs {1,3}, disjoint
+    a_keys = [i for i in ids if res[i] == 0][:40]
+    b_keys = [i for i in ids if res[i] == 1][:40]
+
+    tA = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    tB = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    attempts = {"A": 0, "B": 0}
+    for tag, tt in (("A", tA), ("B", tB)):
+        orig = tt._merge_upsert_once
+
+        def counted(*args, __tag=tag, __orig=orig, **kw):
+            attempts[__tag] += 1
+            return __orig(*args, **kw)
+
+        tt._merge_upsert_once = counted
+
+    real_publish = tA._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            tB.merge_upsert(_rows(spark, b_keys, 1, "wb"), keys=["id"],
+                            order_by=["seq"], batch_id=0, mode="cow",
+                            writer_id="wb")
+        return real_publish(manifest)
+
+    tA._publish = racing_publish
+    outA = tA.merge_upsert(_rows(spark, a_keys, 1, "wa"), keys=["id"],
+                           order_by=["seq"], batch_id=0, mode="cow",
+                           writer_id="wa")
+    assert not outA.get("skipped")
+    # ONE compute attempt each: A lost the CAS but rebased metadata-only
+    assert attempts == {"A": 1, "B": 1}, attempts
+    got = {r["id"]: (r["seq"], r["text"]) for r in
+           LakeTable(spark, path).to_df().collect()}
+    assert len(got) == 400
+    for i in ids:
+        if i in a_keys:
+            assert got[i] == (1, f"wa-{i}-1")
+        elif i in b_keys:
+            assert got[i] == (1, f"wb-{i}-1")
+        else:
+            assert got[i] == (0, f"base-{i}-0")
+    # and OVERLAPPING granules still recompute (no silent corruption):
+    tC = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    tD = LakeTable(spark, path, num_buckets=1, files_per_bucket=4)
+    c_keys = a_keys[:10]
+    real_publish_c = tC._publish
+    injected2 = {"done": False}
+
+    def racing_publish2(manifest):
+        if not injected2["done"]:
+            injected2["done"] = True
+            tD.merge_upsert(_rows(spark, c_keys, 2, "wd"), keys=["id"],
+                            order_by=["seq"], batch_id=1, mode="cow",
+                            writer_id="wd")
+        return real_publish_c(manifest)
+
+    tC._publish = racing_publish2
+    tC.merge_upsert(_rows(spark, c_keys, 3, "wc"), keys=["id"],
+                    order_by=["seq"], batch_id=1, mode="cow", writer_id="wc")
+    got2 = {r["id"]: r["seq"] for r in LakeTable(spark, path).to_df().collect()}
+    assert all(got2[i] == 3 for i in c_keys)  # max seq wins after recompute
