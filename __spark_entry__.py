@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": Q.q_text_repetition,
         "text_unigram_surprisal": Q.q_text_unigram_surprisal,
         "substring_dup_rate": Q.q_substring_dup_rate,
+        "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
+        "quality_linear_score": Q.q_quality_linear_score,
+        "asof_join_tolerance": Q.q_asof_join_tolerance,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -209,6 +212,80 @@ def oracle_sql() -> dict[str, str]:
                    s.signup_event_id as signup_event_id_asof
             from p asof left join s
               on p.user_id = s.user_id and p.ts >= s.ts
+        """,
+        # as-of join with a merge_asof-style tolerance: matches staler than
+        # 2h null out (filter on the carried timestamp, not a second join)
+        "asof_join_tolerance": """
+            with p as (
+                select user_id, ts, event_id from events
+                where event_type = 'purchase'
+            ), s as (
+                select user_id, ts, max(event_id) as signup_event_id
+                from events where event_type = 'signup'
+                group by user_id, ts
+            )
+            select p.user_id, p.event_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') as ts,
+                   case when s.ts is not null
+                             and epoch(p.ts) - epoch(s.ts) <= 7200
+                        then s.signup_event_id end as signup_within_2h
+            from p asof left join s
+              on p.user_id = s.user_id and p.ts >= s.ts
+        """,
+        # 13-gram benchmark decontamination: eval split = doc_id % 20 == 0;
+        # per TRAIN doc, distinct 13-gram collisions with the eval set
+        "decontaminate_ngram_overlap": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as toks from documents
+            ), g as (
+                select doc_id, array_to_string(toks[i:i+12], ' ') as gram
+                from tok, unnest(generate_series(1, greatest(len(toks) - 12, 0))) as t(i)
+            ), tg as (
+                select distinct doc_id, gram from g where doc_id % 20 <> 0
+            ), eg as (
+                select distinct gram from g where doc_id % 20 = 0
+            ), pd as (
+                select tg.doc_id,
+                       cast(count(*) as bigint) as n_grams,
+                       cast(sum(case when eg.gram is not null then 1 else 0 end)
+                            as bigint) as n_contaminated
+                from tg left join eg on tg.gram = eg.gram
+                group by tg.doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(pd.n_grams, 0) as bigint) as n_grams,
+                   cast(coalesce(pd.n_contaminated, 0) as bigint) as n_contaminated,
+                   coalesce(pd.n_contaminated, 0) > 0 as contaminated
+            from documents d left join pd on d.doc_id = pd.doc_id
+            where d.doc_id % 20 <> 0
+        """,
+        # fixed-weight linear quality scorer (fasttext-filter shape): all
+        # features are integer ratios, the combination is association-
+        # order-identical in both engines — bit-exact doubles, no ln/exp
+        "quality_linear_score": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), agg as (
+                select doc_id,
+                       count(*) as n_tok,
+                       count(distinct tk) as n_distinct,
+                       cast(sum(len(tk)) as bigint) as sum_len,
+                       cast(sum(case when tk in ('the','a','of','and','to','in','is','it')
+                                     then 1 else 0 end) as bigint) as n_stop
+                from tok group by doc_id
+            )
+            , scored as (
+                select doc_id, n_tok,
+                       (((n_distinct / cast(n_tok as double)) * 5e-1
+                         - (n_stop / cast(n_tok as double)) * 8e-1)
+                        + (sum_len / cast(n_tok as double)) * 1e-1)
+                       + n_tok * 2e-3 as score
+                from agg
+            )
+            select doc_id, n_tok,
+                   floor(score * 10000) / 10000 as quality_score,
+                   score > 75e-2 as keep
+            from scored
         """,
         "range_join_clicks": """
             select e.event_id, e.user_id,

@@ -977,3 +977,123 @@ def q_substring_dup_rate(spark, sf_dir):
         "n_windows",
         (F.floor(F.col("n_dup") / F.col("n_windows") * 1e6) / 1e6).alias("dup_window_frac"),
     )
+
+
+def q_decontaminate_ngram_overlap(spark, sf_dir):
+    """Training-data decontamination (the 13-gram-collision rule used for
+    benchmark decontamination in LLM pipelines): a held-out eval split
+    (doc_id % 20 == 0 — portable across both engines) defines a set of
+    13-token shingles; each TRAIN doc reports how many of its distinct
+    13-grams collide with the eval set, plus a contaminated flag.
+
+    Scale shape: the eval-gram side of the join is a benchmark set —
+    small by construction — so it BROADCASTS (eval grams are hashed to 8
+    bytes with xxhash64 before shipping); the train side never shuffles
+    on the gram string. Docs shorter than 13 tokens report 0 grams."""
+    docs = _t(spark, sf_dir, "documents")
+    N = 13
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    grams = F.when(
+        F.size(tokens) >= N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (N - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, N))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_g = (
+        docs.filter(is_eval).select(F.explode(grams).alias("g")).distinct()
+    )
+    train_g = (
+        docs.filter(~is_eval)
+        .select("doc_id", F.explode_outer(grams).alias("g"))
+        .distinct()
+    )
+    hits = train_g.join(
+        F.broadcast(eval_g.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_grams"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_quality_linear_score(spark, sf_dir):
+    """Model-based quality filtering (fasttext-classifier shape with an
+    honest fixed-weight linear stand-in — no model weights ship in this
+    container): per doc, a linear score over type-token ratio, stopword
+    ratio, mean token length, and log-free token count, floor-quantized
+    at 1e-4. Every feature is a ratio of exact integers and the linear
+    combination is written in the same association order in both engines,
+    so the doubles match bit-for-bit (no transcendental anywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to", "in", "is", "it")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tok = docs.select("doc_id", F.explode(tokens).alias("tk"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("tk").alias("n_distinct"),
+        F.sum(F.length("tk")).alias("sum_len"),
+        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0)).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tok")
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    mean_len = F.col("sum_len") / F.col("n_tok")
+    score = ((ttr * 0.5 - stop_ratio * 0.8) + mean_len * 0.1) + F.col(
+        "n_tok"
+    ) * 0.002
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        (F.floor(score * 1e4) / 1e4).alias("quality_score"),
+        (score > 0.75).alias("keep"),
+    )
+
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (the pandas merge_asof
+    ``tolerance=`` semantics): each purchase matches the user's latest
+    signup at-or-before it ONLY if it happened within the last 2 hours —
+    staler matches null out. Same O(|L|+|R|) union+running-last plan as
+    the base as-of; the tolerance is a post-filter on the carried
+    timestamp, not a second join."""
+    from tap_rest_api_msdk_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    out = asof_join(
+        purchases, signups, ["user_id"], "ts",
+        right_cols=["signup_event_id", "signup_ts"],
+    )
+    within = (
+        F.col("signup_ts_asof").isNotNull()
+        & (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("signup_ts_asof"))
+            <= 7200
+        )
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.when(within, F.col("signup_event_id_asof")).alias("signup_within_2h"),
+    )

@@ -216,3 +216,22 @@ def test_unigram_surprisal_single_corpus_pass_shape(spark):
     plan = plan_of(QUERIES["text_unigram_surprisal"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round4_new_queries_shaped(spark):
+    """Round-4 additions: decontamination broadcasts the (hashed) eval-gram
+    side; the quality scorer is one partial-agg pass with no join; the
+    tolerance as-of never plans a per-key cross product."""
+    plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan  # grams ship as 8-byte hashes, not strings
+
+    plan = plan_of(QUERIES["quality_linear_score"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Join" not in plan and "partial_" in plan
+
+    plan = plan_of(QUERIES["asof_join_tolerance"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
