@@ -189,7 +189,7 @@ def main() -> None:
             # fraction), best-of-2 against the host's bursty 2-3x noise
             n_scale = WAL_EVENTS
             times = {}
-            for cores in (8, 2):  # 4N first (warm JVM parity for both)
+            for cores in (32, 8, 2):  # widest first (warm JVM parity)
                 s = make_session(cores)
                 wal_df = s.read.parquet(wal_path)
                 from tap_rest_api_msdk_spark.streaming.pipeline import (
@@ -211,15 +211,21 @@ def main() -> None:
                     best = min(best, time.time() - t0)
                 times[cores] = best
                 s.stop()
-            thr8, thr2 = n_scale / times[8], n_scale / times[2]
+            thr32, thr8, thr2 = (
+                n_scale / times[32], n_scale / times[8], n_scale / times[2]
+            )
             cdc.update(
                 {
+                    "seconds_local32_scalepair": round(times[32], 3),
                     "seconds_local8": round(times[8], 3),
                     "seconds_local2": round(times[2], 3),
+                    "events_per_sec_local32_scalepair": round(thr32),
                     "events_per_sec_local8": round(thr8),
                     "events_per_sec_local2": round(thr2),
                     "scaling_efficiency_2_to_8": round((thr8 / thr2) / 4, 3),
-                    "scaling_pair": "local[2] -> local[8] (N -> 4N cores)",
+                    "scaling_efficiency_8_to_32": round((thr32 / thr8) / 4, 3),
+                    "scaling_pair": "local[2] -> local[8] and local[8] -> "
+                                    "local[32] (N -> 4N cores, same input)",
                 }
             )
         if RUN_STEADY:

@@ -710,6 +710,7 @@ class LakeTable:
         bookmark_updates: Optional[dict] = None,
         extra_manifest: Optional[dict] = None,
         affected_buckets: Optional[Sequence[int]] = None,
+        affected_granules: Optional[dict] = None,
         mode: str = "cow",
         writer_id: str = "default",
     ) -> dict:
@@ -757,7 +758,8 @@ class LakeTable:
             eff_mode = mode if (mode != "cow" or _attempt < 3) else "mor"
             out = self._merge_upsert_once(
                 batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
-                extra_manifest, affected_buckets, eff_mode, writer_id,
+                extra_manifest, affected_buckets, affected_granules,
+                eff_mode, writer_id,
             )
             if out is not None:
                 if eff_mode != mode:
@@ -771,7 +773,7 @@ class LakeTable:
 
     def _merge_upsert_once(
         self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
-        extra_manifest, affected_buckets, mode, writer_id,
+        extra_manifest, affected_buckets, affected_granules, mode, writer_id,
     ) -> Optional[dict]:
         """One optimistic attempt: compute + write data files against the
         current snapshot, then CAS-commit. Returns None when a concurrent
@@ -836,7 +838,13 @@ class LakeTable:
         batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
 
         foot = None
-        if affected_buckets is not None:
+        if affected_granules is not None and mode == "cow" and m is not None:
+            # caller supplied the (bucket, slice64) footprint (the
+            # pipeline's lineage pass collects it in its one aggregate):
+            # granular COW with no extra scan at all
+            foot = {int(b): {int(s) for s in v} for b, v in affected_granules.items()}
+            affected = sorted(foot)
+        elif affected_buckets is not None:
             # caller already knows the touched buckets (e.g. from its
             # lineage-metrics pass) — skip the extra distinct scan
             affected = [int(b) for b in affected_buckets]

@@ -21,6 +21,7 @@ def lineage_metrics(
     rk_col: str,
     ts_col: Optional[str] = None,
     bytes_col: Optional[str] = None,
+    slice_col: Optional[str] = None,
 ) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).alias("event_count"),
@@ -32,6 +33,11 @@ def lineage_metrics(
         aggs.append(F.max(ts_col).alias("watermark"))
     if bytes_col:
         aggs.append(F.sum(F.length(F.col(bytes_col)).cast("long")).alias("payload_bytes"))
+    if slice_col:
+        # (bucket, slice64) footprint for granular COW: <=64 distinct ints
+        # per bucket, collected in the SAME map-side-combined aggregate —
+        # the merge gets its granule plan without an extra scan
+        aggs.append(F.collect_set(F.col(slice_col)).alias("slice_classes"))
     return batch_df.groupBy(F.col(bucket_col).alias("partition_id")).agg(*aggs)
 
 

@@ -274,8 +274,26 @@ def process_batch(
     metrics_src = (
         raw if all(k in raw.columns for k in conf.keys) else prepare_batch(raw, conf, None)
     )
+    # for COW sinks, ALSO collect the (bucket, slice64) footprint in the
+    # same aggregate: merge_upsert then rewrites only the touched granules
+    # ((bucket, slice)-granular COW) instead of whole buckets, at zero
+    # extra scan cost. The footprint MUST be exact (claims derive from
+    # it), which holds because metrics_src carries the same key values as
+    # the shaped batch and runs after malformed/result-limit filtering.
+    want_granular = conf.sink_mode == "cow"
+    src = metrics_src.withColumn("__p", bucket)
+    if want_granular:
+        from tap_rest_api_msdk_spark.streaming.laketable import SLICE_MOD
+
+        src = src.withColumn(
+            "__s64",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in conf.keys], F.lit("__salt__")),
+                F.lit(SLICE_MOD),
+            ).cast("int"),
+        )
     metrics_df = lineage_metrics(
-        metrics_src.withColumn("__p", bucket),
+        src,
         "__p",
         conf.replication_key,
         ts_col=conf.ts_col if conf.ts_col in metrics_src.columns else None,
@@ -286,6 +304,7 @@ def process_batch(
             if conf.payload_col in metrics_src.columns and not payload_is_struct
             else None
         ),
+        slice_col="__s64" if want_granular else None,
     )
     mrows = metrics_df.collect()
     if not mrows:
@@ -303,6 +322,11 @@ def process_batch(
         table.fold_size_ratio = conf.fold_size_ratio
     if conf.fold_min_bytes is not None:
         table.fold_min_bytes = conf.fold_min_bytes
+    foot = (
+        {int(r["partition_id"]): set(r["slice_classes"]) for r in mrows}
+        if want_granular
+        else None
+    )
     stats = table.merge_upsert(
         shaped,
         keys=conf.keys,
@@ -315,6 +339,7 @@ def process_batch(
             "records_committed_by": {conf.stream: records_committed + batch_rows},
         },
         affected_buckets=sorted(per_part),  # lineage partition == merge bucket
+        affected_granules=foot,
         mode=conf.sink_mode,
         writer_id=conf.stream,
     )
@@ -326,8 +351,13 @@ def process_batch(
     ):
         stats["compaction"] = table.compact()
     if not stats.get("skipped"):
-        # metrics rows were already collected; append driver-side (pyarrow)
-        append_metrics_rows(mrows, metrics_df.schema, table.path, batch_id, conf.stream)
+        # metrics rows were already collected; append driver-side (pyarrow).
+        # slice_classes is merge-plan plumbing, not lineage — keep the
+        # persisted metrics schema stable across sink modes
+        persisted = T.StructType(
+            [f for f in metrics_df.schema.fields if f.name != "slice_classes"]
+        )
+        append_metrics_rows(mrows, persisted, table.path, batch_id, conf.stream)
     stats["rows_high_watermark"] = hw
     return stats
 

@@ -506,3 +506,41 @@ def test_disjoint_slice_cow_writers_both_land_without_recompute(spark, tmp_path)
                     order_by=["seq"], batch_id=1, mode="cow", writer_id="wc")
     got2 = {r["id"]: r["seq"] for r in LakeTable(spark, path).to_df().collect()}
     assert all(got2[i] == 3 for i in c_keys)  # max seq wins after recompute
+
+
+def test_pipeline_cow_uses_granular_footprint(spark, tmp_path):
+    """process_batch (sink_mode='cow') collects the (bucket, slice64)
+    footprint inside its lineage aggregate and merge_upsert rewrites only
+    the touched granules; the persisted metrics stay footprint-free."""
+    from pyspark.sql import functions as SF
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.metrics import read_metrics
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    wal = synth_repo_wal(spark, 4000, n_repos=20, n_paths=50, shredded=True)
+    path = str(tmp_path / "t")
+    table = LakeTable(spark, path, num_buckets=8, files_per_bucket=4)
+    conf = PipelineConfig(stream="s", payload_col="payload", num_buckets=8,
+                          files_per_bucket=4, sink_mode="cow")
+    process_batch(table, conf, wal, 0)
+    m0 = table.current_manifest()
+    n0 = table.to_df().count()
+    # tiny follow-up batch: update ONE key only
+    one = wal.orderBy(SF.desc("seq")).limit(1).withColumn(
+        "seq", SF.col("seq") + 1_000_000
+    )
+    process_batch(table, conf, one, 1)
+    m1 = table.current_manifest()
+    assert table.to_df().count() == n0
+    # granular COW: untouched granules' files carried forward — the one
+    # updated key touches exactly one (bucket, slice) granule, so most of
+    # the base file set survives verbatim
+    f0 = {f for fl in m0["files"].values() for f in fl}
+    f1 = {f for fl in m1["files"].values() for f in fl}
+    assert len(f0 & f1) >= len(f0) - 2, (len(f0), len(f0 & f1))
+    # metrics table: no slice_classes column persisted
+    cols = read_metrics(spark, path).columns
+    assert "slice_classes" not in cols and "event_count" in cols
