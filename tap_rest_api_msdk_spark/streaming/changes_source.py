@@ -1,0 +1,231 @@
+"""Structured-Streaming CDC reads of a LakeTable: a PySpark Python Data
+Source (Spark 4 ``pyspark.sql.datasource`` API) exposing the table's
+commit log as a stream —
+
+    spark.dataSource.register(LakeTableChangesDataSource)
+    df = (spark.readStream.format("laketable_changes")
+          .option("path", table_path)
+          .option("starting_version", 0)   # default: table HEAD at start
+          .load())
+
+Each micro-batch delivers the data files ADDED by data commits in the
+offset window (the same commit-walk rule as ``LakeTable.changes_since``:
+maintenance commits — folds, compactions — are skipped via the unchanged
+batch-id ledger, so rewritten-but-unchanged base rows never surface as
+changes). Rows carry ``__commit_version`` (the snapshot that added them)
+and ``__bucket`` alongside the table columns.
+
+Scale shape: offsets are manifest versions (driver-side metadata only,
+O(1) HEAD via the pointer hint); each input partition is ONE data file,
+read on the EXECUTOR with pyarrow and yielded as Arrow RecordBatches —
+no per-row Python, and parallelism = files per batch. Exactly-once comes
+from Spark's checkpointed offsets plus deterministic manifests: replaying
+(start, end] always selects the same files (retained until ``vacuum``;
+a vacuumed window raises the standard retained-snapshots error).
+
+Semantics per sink mode (same contract as ``changes_since``): under
+mor / cow_incremental the delivered rows are exactly the change rows
+(within-batch LWW winners incl. tombstones); under whole-bucket cow,
+rewritten buckets carry unchanged rows along — downstream filters by its
+replication-key bookmark for an exact stream.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file_path: str
+    commit_version: int
+
+
+def _manifest_at(table_path: str, version: int):
+    import json
+
+    p = os.path.join(table_path, "manifests", f"v{version:010d}.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _head_version(table_path: str):
+    """O(1 + lag) HEAD resolution (same pointer-hint + forward-probe as
+    LakeTable.current_manifest, without needing a SparkSession)."""
+    import json
+
+    hint_v = None
+    try:
+        with open(os.path.join(table_path, "_latest.json")) as fh:
+            hint = json.load(fh)
+        if isinstance(hint, dict) and isinstance(hint.get("version"), int):
+            hint_v = hint["version"]
+    except (FileNotFoundError, ValueError, OSError):
+        pass
+
+    def mpath(v):
+        return os.path.join(table_path, "manifests", f"v{v:010d}.json")
+
+    if hint_v is not None and os.path.exists(mpath(hint_v)):
+        v = hint_v
+        while os.path.exists(mpath(v + 1)):
+            v += 1
+        return v
+    mdir = os.path.join(table_path, "manifests")
+    try:
+        names = [
+            n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    return max(int(n[1:-5]) for n in names)
+
+
+def _ledger_of(m):
+    if m is None:
+        return {}
+    if "batch_ids" in m:
+        return dict(m["batch_ids"])
+    return {"default": m.get("batch_id", -1)}
+
+
+def _all_files(m):
+    out = set()
+    for section in ("files", "deltas"):
+        for flist in (m or {}).get(section, {}).values():
+            out.update(flist)
+    return out
+
+
+def _added_files(table_path: str, start_v: int, end_v: int):
+    """(file, commit_version) pairs added by DATA commits in (start, end]
+    — the changes_since walk, returning per-file commit attribution."""
+    added = []
+    prev = _manifest_at(table_path, start_v) if start_v >= 0 else None
+    prev_files = _all_files(prev)
+    prev_ledger = _ledger_of(prev)
+    for v in range(start_v + 1, end_v + 1):
+        cur = _manifest_at(table_path, v)
+        if cur is None:
+            raise ValueError(
+                f"manifest v{v} missing (expired); the stream's offset window "
+                "exceeds retained metadata — raise expire_manifests retention"
+            )
+        cur_files = _all_files(cur)
+        cur_ledger = _ledger_of(cur)
+        if cur_ledger != prev_ledger:  # data commit
+            for f in sorted(cur_files - prev_files):
+                added.append((f, v))
+        prev_files, prev_ledger = cur_files, cur_ledger
+    missing = [f for f, _ in added if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} change files vacuumed (e.g. {missing[0]}); "
+            "increase vacuum(retain_last=...) to cover streaming readers"
+        )
+    return added
+
+
+class LakeTableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("laketable_changes requires .option('path', ...)")
+        self.schema_json = schema.json()
+        sv = options.get("starting_version")
+        if sv is not None:
+            self.start_version = int(sv)
+        else:
+            head = _head_version(self.table_path)
+            self.start_version = head if head is not None else -1
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        head = _head_version(self.table_path)
+        return {"version": head if head is not None else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        added = _added_files(
+            self.table_path, int(start["version"]), int(end["version"])
+        )
+        return [_FilePartition(file_path=f, commit_version=v) for f, v in added]
+
+    def read(self, partition):
+        # executor-side: one parquet file -> Arrow RecordBatches cast to
+        # the declared schema (+ constant __commit_version) — vectorized,
+        # no per-row Python
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        spark_schema = StructType.fromJson(__import__("json").loads(self.schema_json))
+        arrow_schema = to_arrow_schema(spark_schema)
+        tbl = pq.read_table(partition.file_path)
+        n = tbl.num_rows
+        cols = []
+        for field in arrow_schema:
+            if field.name == "__commit_version":
+                cols.append(
+                    pa.array([partition.commit_version] * n, type=field.type)
+                )
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type).combine_chunks())
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        out = pa.table(cols, schema=arrow_schema)
+        yield from out.to_batches(max_chunksize=8192)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class LakeTableChangesDataSource(DataSource):
+    """``format("laketable_changes")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable_changes"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        m_head = _head_version(self.options.get("path", ""))
+        m = (
+            _manifest_at(self.options["path"], m_head)
+            if m_head is not None
+            else None
+        )
+        if m is None or not m.get("schema"):
+            raise ValueError(
+                "laketable_changes: no committed snapshot at "
+                f"{self.options.get('path')!r}"
+            )
+        base = T.StructType.fromJson(m["schema"])
+        return T.StructType(
+            base.fields
+            + [
+                T.StructField("__bucket", T.IntegerType(), True),
+                T.StructField("__commit_version", T.LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return LakeTableChangesStreamReader(schema, self.options)
