@@ -49,48 +49,18 @@ class _FilePartition(InputPartition):
 
 
 def _manifest_at(table_path: str, version: int):
-    import json
+    # shared with LakeTable: assembles split (sectioned) manifests too
+    from tap_rest_api_msdk_spark.streaming.laketable import load_manifest_at
 
-    p = os.path.join(table_path, "manifests", f"v{version:010d}.json")
-    try:
-        with open(p) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None
+    return load_manifest_at(table_path, version)
 
 
 def _head_version(table_path: str):
-    """O(1 + lag) HEAD resolution (same pointer-hint + forward-probe as
-    LakeTable.current_manifest, without needing a SparkSession)."""
-    import json
+    """O(1 + lag) HEAD resolution (pointer hint + forward probe), shared
+    with LakeTable — no SparkSession needed."""
+    from tap_rest_api_msdk_spark.streaming.laketable import head_version
 
-    hint_v = None
-    try:
-        with open(os.path.join(table_path, "_latest.json")) as fh:
-            hint = json.load(fh)
-        if isinstance(hint, dict) and isinstance(hint.get("version"), int):
-            hint_v = hint["version"]
-    except (FileNotFoundError, ValueError, OSError):
-        pass
-
-    def mpath(v):
-        return os.path.join(table_path, "manifests", f"v{v:010d}.json")
-
-    if hint_v is not None and os.path.exists(mpath(hint_v)):
-        v = hint_v
-        while os.path.exists(mpath(v + 1)):
-            v += 1
-        return v
-    mdir = os.path.join(table_path, "manifests")
-    try:
-        names = [
-            n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        return None
-    if not names:
-        return None
-    return max(int(n[1:-5]) for n in names)
+    return head_version(table_path)
 
 
 def _ledger_of(m):

@@ -40,6 +40,7 @@ through recomputes.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -103,8 +104,107 @@ def bucket_salt_to_partition(bucket: int, salt: int, num_partitions: int) -> int
 _MANIFEST_CORE_KEYS = frozenset({
     "version", "batch_id", "batch_ids", "committed_at", "schema", "files",
     "deltas", "slice_meta", "bookmarks", "num_buckets", "keys", "order_by",
-    "op_col", "fold_round", "file_owners", "file_bytes",
+    "op_col", "fold_round", "file_owners", "file_bytes", "sections_ref",
 })
+
+#: manifest keys that split into per-bucket SECTION files (split manifests,
+#: the Iceberg manifest-list shape): the version file carries only core
+#: scalars + content-addressed refs, so commit metadata writes are
+#: O(touched buckets), not O(table files)
+_SECTION_SPLIT_KEYS = ("files", "deltas", "slice_meta", "file_bytes", "file_owners")
+
+#: content-addressed section files are IMMUTABLE — a process-level cache
+#: can never go stale; cleared wholesale when it grows past the cap
+_SECTION_CACHE: dict = {}
+_SECTION_CACHE_MAX = 8192
+
+
+def _load_section(path: str) -> dict:
+    sec = _SECTION_CACHE.get(path)
+    if sec is None:
+        with open(path) as fh:
+            sec = json.load(fh)
+        if len(_SECTION_CACHE) >= _SECTION_CACHE_MAX:
+            _SECTION_CACHE.clear()
+        _SECTION_CACHE[path] = sec
+    return sec
+
+
+def assemble_manifest(table_path: str, m: Optional[dict]) -> Optional[dict]:
+    """Resolve a split manifest's ``sections_ref`` into the full in-memory
+    dict every consumer works with (pre-split manifests pass through).
+    Section files are content-addressed (sha1 of canonical JSON), so
+    unchanged buckets re-reference the same file across versions and the
+    process cache makes repeated loads O(changed sections)."""
+    if not m or "sections_ref" not in m:
+        return m
+    out = {k: v for k, v in m.items() if k != "sections_ref"}
+    files: dict = {}
+    deltas: dict = {}
+    slice_meta: dict = {}
+    fbytes: dict = {}
+    owners: dict = {}
+    for b, rel in m["sections_ref"].items():
+        sec = _load_section(os.path.join(table_path, "manifests", rel))
+        if sec.get("files"):
+            files[b] = list(sec["files"])
+        if sec.get("deltas"):
+            deltas[b] = list(sec["deltas"])
+        if sec.get("slice_meta"):
+            slice_meta[b] = dict(sec["slice_meta"])
+        fbytes.update(sec.get("file_bytes", {}))
+        for bn, ob in sec.get("file_owners", {}).items():
+            # a shared file appears in every owner bucket's section, each
+            # carrying the FULL owner list — union is a no-op but cheap
+            owners[bn] = sorted(set(owners.get(bn, [])) | set(ob))
+    out["files"] = files
+    out["deltas"] = deltas
+    out["slice_meta"] = slice_meta
+    out["file_bytes"] = fbytes
+    out["file_owners"] = owners
+    return out
+
+
+def load_manifest_at(table_path: str, version: int) -> Optional[dict]:
+    """Assembled snapshot manifest at ``version`` (module-level so metadata
+    consumers — e.g. the streaming changes source — need no SparkSession)."""
+    p = os.path.join(table_path, "manifests", f"v{version:010d}.json")
+    try:
+        with open(p) as fh:
+            return assemble_manifest(table_path, json.load(fh))
+    except FileNotFoundError:
+        return None
+
+
+def head_version(table_path: str) -> Optional[int]:
+    """O(1 + pointer lag) HEAD version (pointer hint + forward probe;
+    directory-listing fallback)."""
+    hint_v = None
+    try:
+        with open(os.path.join(table_path, LATEST_POINTER)) as fh:
+            hint = json.load(fh)
+        if isinstance(hint, dict) and isinstance(hint.get("version"), int):
+            hint_v = hint["version"]
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        pass
+
+    def mpath(v):
+        return os.path.join(table_path, "manifests", f"v{v:010d}.json")
+
+    if hint_v is not None and os.path.exists(mpath(hint_v)):
+        v = hint_v
+        while os.path.exists(mpath(v + 1)):
+            v += 1
+        return v
+    try:
+        names = [
+            n
+            for n in os.listdir(os.path.join(table_path, "manifests"))
+            if n.startswith("v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return None
+    return max((int(n[1:-5]) for n in names), default=None)
 
 
 class LakeTable:
@@ -217,7 +317,7 @@ class LakeTable:
                 with open(self._manifest_path(v)) as fh:
                     out = json.load(fh)
                 self.last_head_reads = probes + 1
-                return out
+                return assemble_manifest(self.path, out)
             except (json.JSONDecodeError, OSError):
                 pass  # fall through to the listing
         return self._current_manifest_by_listing()
@@ -237,24 +337,19 @@ class LakeTable:
         for name in names:
             try:
                 with open(os.path.join(mdir, name)) as fh:
-                    return json.load(fh)
+                    return assemble_manifest(self.path, json.load(fh))
             except (json.JSONDecodeError, OSError):
                 continue
         try:
             with open(self._pointer_path()) as fh:
-                return json.load(fh)
+                return assemble_manifest(self.path, json.load(fh))
         except FileNotFoundError:
             return None
 
     def manifest_at(self, version: int) -> Optional[dict]:
         """Historical snapshot manifest (time travel): every commit's
         manifest is retained under manifests/ until vacuumed."""
-        p = os.path.join(self.path, "manifests", f"v{version:010d}.json")
-        try:
-            with open(p) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return load_manifest_at(self.path, version)
 
     def _publish(self, manifest: dict) -> bool:
         """Compare-and-swap commit of one snapshot version.
@@ -271,10 +366,11 @@ class LakeTable:
         Returns True iff this call committed the version.
         """
         version = manifest["version"]
+        core = self._split_sections(manifest)
         mpath = os.path.join(self.path, "manifests", f"v{version:010d}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(core, fh)
         try:
             os.link(tmp, mpath)  # atomic create-if-absent = the CAS
         except FileExistsError:
@@ -285,9 +381,51 @@ class LakeTable:
                 os.remove(tmp)
         ptmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex}"
         with open(ptmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(core, fh)
         os.rename(ptmp, self._pointer_path())
         return True
+
+    def _split_sections(self, manifest: dict) -> dict:
+        """Split manifests (Iceberg manifest-list shape): per-bucket
+        sections go to content-addressed files under manifests/sections/,
+        written BEFORE the CAS like data files; the version file carries
+        only core scalars + refs. An UNCHANGED bucket hashes to the same
+        section file as the previous version — nothing is rewritten — so
+        commit metadata cost is O(touched buckets), not O(table files).
+        A lost CAS leaves content-addressed orphans for expire_manifests'
+        grace-windowed GC."""
+        core = {k: v for k, v in manifest.items() if k not in _SECTION_SPLIT_KEYS}
+        buckets = (
+            set(manifest.get("files", {}))
+            | set(manifest.get("deltas", {}))
+            | set(manifest.get("slice_meta", {}))
+        )
+        sdir = os.path.join(self.path, "manifests", "sections")
+        os.makedirs(sdir, exist_ok=True)
+        fbytes = manifest.get("file_bytes", {})
+        owners = manifest.get("file_owners", {})
+        refs = {}
+        for b in sorted(buckets, key=str):
+            sec = {
+                "files": manifest.get("files", {}).get(b, []),
+                "deltas": manifest.get("deltas", {}).get(b, []),
+                "slice_meta": manifest.get("slice_meta", {}).get(b, {}),
+            }
+            bns = [os.path.basename(f) for f in sec["files"] + sec["deltas"]]
+            sec["file_bytes"] = {bn: fbytes[bn] for bn in bns if bn in fbytes}
+            sec["file_owners"] = {bn: owners[bn] for bn in bns if bn in owners}
+            blob = json.dumps(sec, sort_keys=True)
+            h = hashlib.sha1(blob.encode()).hexdigest()
+            rel = f"sections/{h}.json"
+            p = os.path.join(self.path, "manifests", rel)
+            if not os.path.exists(p):  # content-addressed: write once
+                stmp = p + f".tmp.{uuid.uuid4().hex}"
+                with open(stmp, "w") as fh:
+                    fh.write(blob)
+                os.replace(stmp, p)  # same-content race is idempotent
+            refs[str(b)] = rel
+        core["sections_ref"] = refs
+        return core
 
     @staticmethod
     def _ledger(m: Optional[dict]) -> dict:
@@ -1823,7 +1961,42 @@ class LakeTable:
                 os.rmdir(full)
         return removed
 
-    def expire_manifests(self, retain_last: int = 100) -> int:
+    def _gc_sections(self, grace_seconds: float = 300.0) -> int:
+        """Delete section files referenced by NO remaining version file.
+        ``grace_seconds`` spares young sections — a concurrent writer may
+        have written sections for a commit whose CAS hasn't landed yet
+        (same contract as vacuum's orphan-file grace window)."""
+        mdir = os.path.join(self.path, "manifests")
+        sdir = os.path.join(mdir, "sections")
+        if not os.path.isdir(sdir):
+            return 0
+        live: set = set()
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as fh:
+                    live.update(json.load(fh).get("sections_ref", {}).values())
+            except (json.JSONDecodeError, OSError):
+                continue
+        cutoff = time.time() - grace_seconds
+        removed = 0
+        for name in os.listdir(sdir):
+            rel = f"sections/{name}"
+            p = os.path.join(sdir, name)
+            if rel in live or not name.endswith(".json"):
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue  # possibly an in-flight commit's section
+                os.remove(p)
+                _SECTION_CACHE.pop(p, None)
+                removed += 1
+            except OSError:
+                continue
+        return removed
+
+    def expire_manifests(self, retain_last: int = 100, grace_seconds: float = 300.0) -> int:
         """Metadata-log compaction (Iceberg expire-snapshots analog for the
         manifest log): delete manifest files older than the last
         ``retain_last`` versions. Bounds manifests/ growth at high commit
@@ -1849,6 +2022,8 @@ class LakeTable:
             if v < cutoff:
                 os.remove(os.path.join(mdir, name))
                 removed += 1
+        if removed:
+            self._gc_sections(grace_seconds)
         return removed
 
     def register_view(self, name: str, drop_deletes: bool = True) -> str:

@@ -101,7 +101,8 @@ def test_crash_between_delta_and_fold_reconverges(spark, tmp_path):
     # simulate the crash: delta committed, fold never ran
     rows1 = [(i, 1, "upsert", f"v1-{i}") for i in range(0, 500, 3)]
     out = t._merge_upsert_once(
-        _mk(spark, rows1), ["id"], ["seq"], 1, "op", None, None, None, "mor", "default"
+        _mk(spark, rows1), ["id"], ["seq"], 1, "op", None, None, None, None,
+        "mor", "default",
     )
     assert out is not None and not out.get("skipped")
 

@@ -544,3 +544,70 @@ def test_pipeline_cow_uses_granular_footprint(spark, tmp_path):
     # metrics table: no slice_classes column persisted
     cols = read_metrics(spark, path).columns
     assert "slice_classes" not in cols and "event_count" in cols
+
+
+def test_split_manifests_write_touched_sections_only(spark, tmp_path):
+    """Split manifests: the version file holds core + content-addressed
+    per-bucket section refs; a commit touching one bucket adds O(1) new
+    section files while every other bucket re-references its existing
+    section byte-for-byte."""
+    import glob
+
+    path = str(tmp_path / "tbl_sections")
+    t = LakeTable(spark, path, num_buckets=32)
+    t.merge_upsert(_rows(spark, range(3000), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, mode="cow")
+    sdir = os.path.join(path, "manifests", "sections")
+    n_after_base = len(os.listdir(sdir))
+    with open(t._manifest_path(t.current_manifest()["version"])) as fh:
+        core0 = json.load(fh)
+    assert "sections_ref" in core0 and "files" not in core0
+    refs0 = core0["sections_ref"]
+
+    # single-key update -> exactly one bucket's section changes
+    t.merge_upsert(_rows(spark, [7], 1, "upd"), keys=["id"],
+                   order_by=["seq"], batch_id=1, mode="mor")
+    with open(t._manifest_path(t.current_manifest()["version"])) as fh:
+        refs1 = json.load(fh)["sections_ref"]
+    changed = [b for b in refs0 if refs0[b] != refs1.get(b)]
+    assert len(changed) == 1, changed
+    assert len(os.listdir(sdir)) <= n_after_base + 2
+    # version file is SMALL (refs, not file lists)
+    assert os.path.getsize(t._manifest_path(t.current_manifest()["version"])) < 8192
+
+    # assembled reads are unchanged semantics
+    m = t.current_manifest()
+    assert sum(len(v) for v in m["files"].values()) >= 32
+    got = {r["id"]: r["seq"] for r in t.to_df().collect()}
+    assert got[7] == 1 and got[8] == 0 and len(got) == 3000
+
+    # expire + GC: drop old versions, unreferenced sections reclaimed
+    # (grace 0 for the test; default spares in-flight writers)
+    removed_versions = t.expire_manifests(retain_last=1, grace_seconds=0.0)
+    assert removed_versions == 1
+    live_refs = set(refs1.values())
+    on_disk = {f"sections/{n}" for n in os.listdir(sdir)}
+    assert on_disk == live_refs, (on_disk - live_refs, live_refs - on_disk)
+    assert {r["id"]: r["seq"] for r in t.to_df().collect()} == got
+
+
+def test_pre_split_manifests_still_read(spark, tmp_path):
+    """Backward compat: a manifest written with INLINE sections (pre-split
+    layout) reads identically — assembly is pass-through."""
+    path = str(tmp_path / "tbl_inline")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(50), 0, "x"), keys=["id"],
+                   order_by=["seq"], batch_id=0)
+    v = t.current_manifest()["version"]
+    # rewrite the version file in the OLD inline layout
+    m = t.current_manifest()  # assembled dict == old layout
+    with open(t._manifest_path(v), "w") as fh:
+        json.dump(m, fh)
+    t2 = LakeTable(spark, path, num_buckets=4)
+    assert t2.current_manifest()["files"] == m["files"]
+    assert t2.to_df().count() == 50
+    # and the next commit on top of it splits again
+    t2.merge_upsert(_rows(spark, [1], 1, "y"), keys=["id"], order_by=["seq"],
+                    batch_id=1, mode="mor")
+    with open(t2._manifest_path(t2.current_manifest()["version"])) as fh:
+        assert "sections_ref" in json.load(fh)
