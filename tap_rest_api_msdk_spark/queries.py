@@ -885,8 +885,10 @@ def q_text_unigram_surprisal(spark, sf_dir):
     distribution — low = boilerplate/common-token soup, high = rare-token
     noise; the standard perplexity-filter primitive without an external
     LM. Two aggregates (corpus counts, per-doc mean over a broadcast-ish
-    join on token). The corpus total comes from sum(c) over the CACHED
-    counts aggregate — no second full corpus pass for one scalar.
+    join on token). The corpus total comes from a DOC-level
+    sum(size(tokens)) — a plain documents scan with no explode, no
+    shuffle of the token stream, and no cached intermediate to leak
+    (count of exploded tokens == sum of per-doc array sizes).
     Per-token surprisal is floor-truncated at 1e-4: a deliberately COARSE
     quantum, because the quantized value flips when ln (the one
     transcendental, not correctly rounded in either engine) lands within
@@ -895,10 +897,8 @@ def q_text_unigram_surprisal(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     tok = docs.select("doc_id", F.explode(tokens).alias("tok"))
-    # cached: computed once here, reused by the scored join below — the
-    # distinct-token table is tiny next to the token stream
-    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
-    total = corpus.agg(F.sum("c")).collect()[0][0]  # scalar, no 2nd pass
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = docs.agg(F.sum(F.size(tokens)).cast("long")).collect()[0][0]
     # per-token surprisal quantized to an INTEGER (floor(1e4 * -ln p))
     # before summing: the distributed sum is then exact and order-free —
     # a double sum would be partition-order-dependent (r1 lesson; same

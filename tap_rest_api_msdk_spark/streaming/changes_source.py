@@ -63,49 +63,14 @@ def _head_version(table_path: str):
     return head_version(table_path)
 
 
-def _ledger_of(m):
-    if m is None:
-        return {}
-    if "batch_ids" in m:
-        return dict(m["batch_ids"])
-    return {"default": m.get("batch_id", -1)}
-
-
-def _all_files(m):
-    out = set()
-    for section in ("files", "deltas"):
-        for flist in (m or {}).get(section, {}).values():
-            out.update(flist)
-    return out
-
-
 def _added_files(table_path: str, start_v: int, end_v: int):
     """(file, commit_version) pairs added by DATA commits in (start, end]
-    — the changes_since walk, returning per-file commit attribution."""
-    added = []
-    prev = _manifest_at(table_path, start_v) if start_v >= 0 else None
-    prev_files = _all_files(prev)
-    prev_ledger = _ledger_of(prev)
-    for v in range(start_v + 1, end_v + 1):
-        cur = _manifest_at(table_path, v)
-        if cur is None:
-            raise ValueError(
-                f"manifest v{v} missing (expired); the stream's offset window "
-                "exceeds retained metadata — raise expire_manifests retention"
-            )
-        cur_files = _all_files(cur)
-        cur_ledger = _ledger_of(cur)
-        if cur_ledger != prev_ledger:  # data commit
-            for f in sorted(cur_files - prev_files):
-                added.append((f, v))
-        prev_files, prev_ledger = cur_files, cur_ledger
-    missing = [f for f, _ in added if not os.path.exists(f)]
-    if missing:
-        raise ValueError(
-            f"{len(missing)} change files vacuumed (e.g. {missing[0]}); "
-            "increase vacuum(retain_last=...) to cover streaming readers"
-        )
-    return added
+    — delegates to LakeTable's SHARED commit walk (one implementation for
+    batch changes_since and this stream, so they can never disagree);
+    raises on an expired window anchor or vacuumed change files."""
+    from tap_rest_api_msdk_spark.streaming.laketable import walk_added_files
+
+    return walk_added_files(table_path, start_v, end_v)
 
 
 class LakeTableChangesStreamReader(DataSourceStreamReader):

@@ -179,6 +179,12 @@ def load_manifest_at(table_path: str, version: int) -> Optional[dict]:
 def head_version(table_path: str) -> Optional[int]:
     """O(1 + pointer lag) HEAD version (pointer hint + forward probe;
     directory-listing fallback)."""
+    return _head_with_reads(table_path)[0]
+
+
+def _head_with_reads(table_path: str):
+    """(head version | None, metadata reads used) — the accounting
+    variant behind both head_version and LakeTable.current_manifest."""
     hint_v = None
     try:
         with open(os.path.join(table_path, LATEST_POINTER)) as fh:
@@ -192,10 +198,11 @@ def head_version(table_path: str) -> Optional[int]:
         return os.path.join(table_path, "manifests", f"v{v:010d}.json")
 
     if hint_v is not None and os.path.exists(mpath(hint_v)):
-        v = hint_v
+        v, probes = hint_v, 1
         while os.path.exists(mpath(v + 1)):
             v += 1
-        return v
+            probes += 1
+        return v, probes
     try:
         names = [
             n
@@ -203,8 +210,71 @@ def head_version(table_path: str) -> Optional[int]:
             if n.startswith("v") and n.endswith(".json")
         ]
     except FileNotFoundError:
-        return None
-    return max((int(n[1:-5]) for n in names), default=None)
+        return None, 1
+    return max((int(n[1:-5]) for n in names), default=None), len(names) + 1
+
+
+def ledger_of(m: Optional[dict]) -> dict:
+    """Per-writer idempotent batch-id ledger (legacy manifests map their
+    single global batch_id to writer 'default')."""
+    if m is None:
+        return {}
+    if "batch_ids" in m:
+        return dict(m["batch_ids"])
+    return {"default": m.get("batch_id", -1)}
+
+
+def all_files_of(m: Optional[dict]) -> set:
+    out: set = set()
+    for section in ("files", "deltas"):
+        for flist in (m or {}).get(section, {}).values():
+            out.update(flist)
+    return out
+
+
+def walk_added_files(
+    table_path: str, start_v: int, end_v: int, end_manifest: Optional[dict] = None
+) -> list:
+    """(file, commit_version) pairs added by DATA commits in
+    (start_v, end_v] — THE commit walk shared by ``changes_since``,
+    ``cdc_diff`` anchoring, and the streaming changes source, so batch and
+    stream CDC reads can never disagree. Maintenance commits (unchanged
+    per-writer ledger) are skipped. Raises when the window's anchor or an
+    interior manifest has been expired (diffing against an empty snapshot
+    would misreport the whole table as changes) or when a change file was
+    vacuumed."""
+    prev = load_manifest_at(table_path, start_v) if start_v >= 0 else None
+    if start_v >= 0 and prev is None:
+        raise ValueError(
+            f"manifest v{start_v} expired: the incremental window's anchor "
+            "exceeds retained metadata; raise expire_manifests("
+            "retain_last=...) to cover readers"
+        )
+    prev_files, prev_ledger = all_files_of(prev), ledger_of(prev)
+    added: list = []
+    for v in range(start_v + 1, end_v + 1):
+        if end_manifest is not None and v == end_v:
+            cur = end_manifest
+        else:
+            cur = load_manifest_at(table_path, v)
+        if cur is None:
+            raise ValueError(
+                f"manifest v{v} missing inside the incremental window "
+                f"({start_v}, {end_v}]; metadata expired past a reader"
+            )
+        cur_files, cur_ledger = all_files_of(cur), ledger_of(cur)
+        if cur_ledger != prev_ledger:  # data commit
+            for f in sorted(cur_files - prev_files):
+                added.append((f, v))
+        prev_files, prev_ledger = cur_files, cur_ledger
+    missing = sorted(f for f, _v in added if not os.path.exists(f))
+    if missing:
+        raise ValueError(
+            "incremental read window exceeds retained snapshots "
+            f"({len(missing)} change files vacuumed, e.g. {missing[0]}); "
+            "increase vacuum(retain_last=...) to cover readers"
+        )
+    return added
 
 
 class LakeTable:
@@ -300,26 +370,15 @@ class LakeTable:
         verdict's O(versions) directory listing is the fallback, used
         only when the hint is missing/stale-beyond-repair).
         ``last_head_reads`` records the probe count for accounting."""
-        hint_v = None
-        try:
-            with open(self._pointer_path()) as fh:
-                hint = json.load(fh)
-            if isinstance(hint, dict) and isinstance(hint.get("version"), int):
-                hint_v = hint["version"]
-        except (FileNotFoundError, json.JSONDecodeError, OSError):
-            pass
-        if hint_v is not None and os.path.exists(self._manifest_path(hint_v)):
-            v, probes = hint_v, 1
-            while os.path.exists(self._manifest_path(v + 1)):
-                v += 1
-                probes += 1
+        v, probes = _head_with_reads(self.path)
+        if v is not None:
             try:
                 with open(self._manifest_path(v)) as fh:
                     out = json.load(fh)
                 self.last_head_reads = probes + 1
                 return assemble_manifest(self.path, out)
-            except (json.JSONDecodeError, OSError):
-                pass  # fall through to the listing
+            except (json.JSONDecodeError, OSError, FileNotFoundError):
+                pass  # fall through to the parse-tolerant listing walk
         return self._current_manifest_by_listing()
 
     def _current_manifest_by_listing(self) -> Optional[dict]:
@@ -432,11 +491,7 @@ class LakeTable:
         """Per-writer idempotent batch-id ledger. Multi-writer tables key
         commits by writer id; legacy single-writer manifests carried one
         global ``batch_id`` (mapped to writer 'default')."""
-        if m is None:
-            return {}
-        if "batch_ids" in m:
-            return dict(m["batch_ids"])
-        return {"default": m.get("batch_id", -1)}
+        return ledger_of(m)
 
     def _bumped_ledger(self, cur: Optional[dict], writer_id: str, batch_id: int) -> dict:
         """The next snapshot's ledger: this writer's entry advances
@@ -577,37 +632,12 @@ class LakeTable:
         new = self.current_manifest()
         if new is None:
             return None
-
-        def all_files(m):
-            out = set()
-            for section in ("files", "deltas"):
-                for flist in (m or {}).get(section, {}).values():
-                    out.update(flist)
-            return out
-
-        added: set[str] = set()
-        prev = self.manifest_at(version)
-        have_walk = prev is not None or version < 0
-        if have_walk:
-            for w in range(version + 1, new["version"] + 1):
-                cur = new if w == new["version"] else self.manifest_at(w)
-                if cur is None:
-                    have_walk = False
-                    break
-                if self._ledger(prev) != self._ledger(cur):  # data commit
-                    added |= all_files(cur) - all_files(prev)
-                prev = cur
-        if not have_walk:
-            # missing intermediate manifests: fall back to the coarse
-            # endpoint diff (may include maintenance rewrites)
-            added = all_files(new) - all_files(self.manifest_at(version))
-        missing = sorted(f for f in added if not os.path.exists(f))
-        if missing:
-            raise ValueError(
-                "incremental read window exceeds retained snapshots "
-                f"({len(missing)} change files vacuumed, e.g. {missing[0]}); "
-                "increase vacuum(retain_last=...) to cover readers"
+        added = {
+            f
+            for f, _v in walk_added_files(
+                self.path, version, new["version"], end_manifest=new
             )
+        }
         schema = T.StructType.fromJson(new["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
         if not added:
@@ -1273,7 +1303,7 @@ class LakeTable:
         our_sizes = self._sizes_of(by_index)
 
         def assemble(cur: Optional[dict]):
-            if cur is not m and int(self._ledger(cur).get(writer_id, -1)) >= batch_id:
+            if cur is not m and self._last_for(cur, writer_id) >= batch_id:
                 # a duplicate of this writer already committed this batch
                 # (or a later one) — appending our delta files again would
                 # double-apply the batch; the replay becomes a no-op
@@ -1492,8 +1522,15 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         attrs = [f.name for f in schema.fields if f.name not in keys]
         m_from = self.manifest_at(from_version)
+        if m_from is None and from_version >= 0:
+            raise ValueError(
+                f"manifest v{from_version} expired: cdc_diff's before-"
+                "endpoint exceeds retained metadata (the whole table would "
+                "misreport as inserts); raise expire_manifests("
+                "retain_last=...) to cover readers"
+            )
         if m_from is None:
-            # no before-endpoint manifest: the whole after-state is inserts
+            # pre-creation endpoint (from_version < 0): all-inserts is exact
             after_full = self.read_state(version=to_version)
             if after_full is None:
                 return None
@@ -1984,8 +2021,10 @@ class LakeTable:
         for name in os.listdir(sdir):
             rel = f"sections/{name}"
             p = os.path.join(sdir, name)
-            if rel in live or not name.endswith(".json"):
+            if rel in live:
                 continue
+            # non-.json entries are crashed writers' .tmp files — orphans
+            # to reclaim past the same grace window
             try:
                 if os.path.getmtime(p) > cutoff:
                     continue  # possibly an in-flight commit's section

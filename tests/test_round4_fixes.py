@@ -611,3 +611,52 @@ def test_pre_split_manifests_still_read(spark, tmp_path):
                     batch_id=1, mode="mor")
     with open(t2._manifest_path(t2.current_manifest()["version"])) as fh:
         assert "sections_ref" in json.load(fh)
+
+
+def test_expired_anchor_raises_not_full_redelivery(spark, tmp_path):
+    """Review findings: an incremental window whose ANCHOR manifest was
+    expired must raise — silently diffing against an empty snapshot would
+    redeliver the whole table as changes (changes_since, the streaming
+    source) or misreport every live key as an insert (cdc_diff)."""
+    from tap_rest_api_msdk_spark.streaming.changes_source import _added_files
+
+    path = str(tmp_path / "tbl_expired")
+    t = LakeTable(spark, path, num_buckets=4)
+    for b in range(5):
+        t.merge_upsert(_rows(spark, range(b * 3, b * 3 + 3), b, f"b{b}"),
+                       keys=["id"], order_by=["seq"], batch_id=b, mode="mor")
+    head = t.current_manifest()["version"]
+    t.expire_manifests(retain_last=2, grace_seconds=0.0)
+
+    with pytest.raises(ValueError, match="expired"):
+        t.changes_since(0)
+    with pytest.raises(ValueError, match="expired"):
+        t.cdc_diff(0)
+    with pytest.raises(ValueError, match="expired"):
+        _added_files(path, 0, head)
+
+    # retained windows still work on all three surfaces
+    assert t.changes_since(head - 1).count() == 3
+    assert t.cdc_diff(head - 1).count() == 3
+    assert len(_added_files(path, head - 1, head)) >= 1
+    # pre-creation anchor (< 0) stays a legitimate full-history read
+    t2 = LakeTable(spark, str(tmp_path / "fresh"), num_buckets=4)
+    t2.merge_upsert(_rows(spark, [1], 0, "x"), keys=["id"], order_by=["seq"],
+                    batch_id=0)
+    assert t2.changes_since(-1).count() == 1
+
+
+def test_gc_sections_reclaims_crashed_tmp_files(spark, tmp_path):
+    path = str(tmp_path / "tbl_tmp")
+    t = LakeTable(spark, path, num_buckets=2)
+    t.merge_upsert(_rows(spark, [1, 2], 0, "x"), keys=["id"], order_by=["seq"],
+                   batch_id=0)
+    t.merge_upsert(_rows(spark, [3], 1, "y"), keys=["id"], order_by=["seq"],
+                   batch_id=1, mode="mor")
+    sdir = os.path.join(path, "manifests", "sections")
+    orphan = os.path.join(sdir, "deadbeef.json.tmp.12345")
+    with open(orphan, "w") as fh:
+        fh.write("{}")
+    t.expire_manifests(retain_last=1, grace_seconds=0.0)
+    assert not os.path.exists(orphan)
+    assert t.to_df().count() == 3  # live sections untouched
