@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
         "quality_linear_score": Q.q_quality_linear_score,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
+        "pii_scrub": Q.q_pii_scrub,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -212,6 +213,16 @@ def oracle_sql() -> dict[str, str]:
                    s.signup_event_id as signup_event_id_asof
             from p asof left join s
               on p.user_id = s.user_id and p.ts >= s.ts
+        """,
+        # digit-run redaction: Spark regexp_replace replaces ALL matches by
+        # default; DuckDB needs the 'g' flag (cross-engine rule from the
+        # module docstring)
+        "pii_scrub": """
+            select event_id,
+                   regexp_replace(props, '[0-9]+', '#', 'g') as scrubbed,
+                   cast(len(regexp_extract_all(props, '[0-9]+')) as bigint)
+                       as n_redactions
+            from events
         """,
         # as-of join with a merge_asof-style tolerance: matches staler than
         # 2h null out (filter on the carried timestamp, not a second join)

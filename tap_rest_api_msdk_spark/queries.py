@@ -1097,3 +1097,20 @@ def q_asof_join_tolerance(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.when(within, F.col("signup_event_id_asof")).alias("signup_within_2h"),
     )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII-scrubbing pipeline stage (the C4/RefinedWeb redaction shape):
+    mask every digit run in the raw payload with '#' and account for the
+    redactions per event. Real pipelines swap the pattern set for
+    emails/phones/SSNs; the digit-run pattern keeps the oracle exact on
+    synthetic data while exercising the same plan — one projection with
+    JVM regexp functions, no UDF, no shuffle (plan-gated)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+    )

@@ -235,3 +235,10 @@ def test_round4_new_queries_shaped(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_pii_scrub_is_projection_only(spark):
+    """Redaction is one native projection: no UDF, no shuffle, no join."""
+    plan = plan_of(QUERIES["pii_scrub"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
