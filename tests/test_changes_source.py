@@ -97,3 +97,70 @@ def test_changes_stream_default_start_is_head(spark, tmp_path):
                    order_by=["seq"], batch_id=1, mode="mor")
     _drain(spark, path, out, ckpt)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_stream_tail_reconstructs_table_under_chaos(spark, tmp_path):
+    """Soak: the changes stream tails a pipeline that rotates sink modes,
+    replays duplicate batch ids, compacts, vacuums, and expires metadata.
+    LWW-resolving everything the stream delivered must reconstruct the
+    final table exactly — the CDC-consumer contract end to end."""
+    import random
+
+    from pyspark.sql import functions as F
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    spark.dataSource.register(LakeTableChangesDataSource)
+    rng = random.Random(7)
+    N = 4000
+    wal = synth_repo_wal(spark, N, n_repos=6, n_paths=25, skew=4.0,
+                         delete_mod=20, shredded=True).cache()
+    wal.count()
+    path = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    table = LakeTable(spark, path, num_buckets=8)
+    cuts = sorted(rng.sample(range(1, N), 7))
+    bounds = [-1] + cuts + [N]
+
+    def drain():
+        q = (
+            spark.readStream.format("laketable_changes")
+            .option("path", path).option("starting_version", -1).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        conf = PipelineConfig(
+            stream="chaos", payload_col="payload", num_buckets=8,
+            sink_mode=rng.choice(["cow", "mor", "cow_incremental"]),
+        )
+        batch = wal.filter((F.col("seq") > s) & (F.col("seq") <= e))
+        process_batch(table, conf, batch, i)
+        if rng.random() < 0.5:
+            process_batch(table, conf, batch, i)  # duplicate delivery
+        drain()  # the stream keeps pace with retention
+        if rng.random() < 0.4:
+            table.compact()
+            table.vacuum(retain_last=6)
+        if rng.random() < 0.3:
+            table.expire_manifests(retain_last=30, grace_seconds=0.0)
+
+    drain()
+    streamed = spark.read.parquet(out)
+    from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+    resolved = (
+        lww_dedup(streamed, ["repo", "path"], ["seq", "commit"])
+        .filter(F.col("op").isNull() | (F.col("op") != "delete"))
+    )
+    got = {(r.repo, r.path): (r.seq, r.commit)
+           for r in resolved.select("repo", "path", "seq", "commit").collect()}
+    want = {(r.repo, r.path): (r.seq, r.commit)
+            for r in table.to_df().select("repo", "path", "seq", "commit").collect()}
+    assert got == want
