@@ -881,6 +881,7 @@ class LakeTable:
         affected_granules: Optional[dict] = None,
         mode: str = "cow",
         writer_id: str = "default",
+        precombine: bool = False,
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
 
@@ -927,7 +928,7 @@ class LakeTable:
             out = self._merge_upsert_once(
                 batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
                 extra_manifest, affected_buckets, affected_granules,
-                eff_mode, writer_id,
+                eff_mode, writer_id, precombine=precombine,
             )
             if out is not None:
                 if eff_mode != mode:
@@ -942,6 +943,7 @@ class LakeTable:
     def _merge_upsert_once(
         self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
         extra_manifest, affected_buckets, affected_granules, mode, writer_id,
+        precombine: bool = False,
     ) -> Optional[dict]:
         """One optimistic attempt: compute + write data files against the
         current snapshot, then CAS-commit. Returns None when a concurrent
@@ -1004,6 +1006,17 @@ class LakeTable:
             return df.select(*cols)
 
         batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
+        if precombine and mode == "cow":
+            # hot-KEY skew guard for duplicate-heavy COW batches: the MOR
+            # path always pre-shrinks (its delta IS the within-batch LWW
+            # winner set), but plain COW's window merge would land every
+            # version of a hot key in one task. lww_dedup is a map-side-
+            # combined aggregate, so a key's duplicates collapse per input
+            # partition BEFORE any exchange — opt-in because unique-key
+            # batches would pay an extra exchange for nothing.
+            from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+            batch = lww_dedup(batch, list(keys) + ["__bucket"], list(order_by))
 
         foot = None
         if affected_granules is not None and mode == "cow" and m is not None:

@@ -660,3 +660,23 @@ def test_gc_sections_reclaims_crashed_tmp_files(spark, tmp_path):
     t.expire_manifests(retain_last=1, grace_seconds=0.0)
     assert not os.path.exists(orphan)
     assert t.to_df().count() == 3  # live sections untouched
+
+
+def test_cow_precombine_shrinks_hot_key_batches(spark, tmp_path):
+    """precombine=True pre-shrinks duplicate-heavy COW batches with the
+    map-side-combined LWW aggregate before the merge shuffle; the result
+    is identical to the plain path (same fixpoint)."""
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    # one pathologically hot key: 5000 versions in a single batch
+    hot = [(1, s, f"v{s}") for s in range(5000)]
+    cold = [(i, 0, f"c{i}") for i in range(2, 300)]
+    df = spark.createDataFrame(hot + cold, "id long, seq long, text string")
+    ta = LakeTable(spark, path_a, num_buckets=4)
+    tb = LakeTable(spark, path_b, num_buckets=4)
+    ta.merge_upsert(df, keys=["id"], order_by=["seq"], batch_id=0, mode="cow")
+    tb.merge_upsert(df, keys=["id"], order_by=["seq"], batch_id=0, mode="cow",
+                    precombine=True)
+    rows_a = sorted((r["id"], r["seq"], r["text"]) for r in ta.to_df().collect())
+    rows_b = sorted((r["id"], r["seq"], r["text"]) for r in tb.to_df().collect())
+    assert rows_a == rows_b
+    assert rows_b[0] == (1, 4999, "v4999")  # hot key resolved to max seq
