@@ -680,3 +680,64 @@ def test_cow_precombine_shrinks_hot_key_batches(spark, tmp_path):
     rows_b = sorted((r["id"], r["seq"], r["text"]) for r in tb.to_df().collect())
     assert rows_a == rows_b
     assert rows_b[0] == (1, 4999, "v4999")  # hot key resolved to max seq
+
+
+def test_split_manifest_roundtrip_property(tmp_path):
+    """Property: split -> assemble is lossless for arbitrary manifest
+    shapes (sections, per-file bytes/owners, shared files, empty
+    buckets), and content addressing dedups identical sections."""
+    from hypothesis import given, settings, strategies as st
+
+    from tap_rest_api_msdk_spark.streaming.laketable import (
+        LakeTable,
+        assemble_manifest,
+    )
+
+    class Stub(LakeTable):  # no SparkSession needed for metadata plumbing
+        def __init__(self, path):
+            self.path = path
+            os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+
+    fname = st.integers(0, 30).map(lambda i: f"/d/e/f{i}.parquet")
+    bucket = st.integers(0, 9)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        files=st.dictionaries(bucket, st.lists(fname, max_size=4, unique=True), max_size=6),
+        deltas=st.dictionaries(bucket, st.lists(fname, max_size=3, unique=True), max_size=6),
+        data=st.data(),
+    )
+    def check(files, deltas, data):
+        files = {str(b): v for b, v in files.items()}
+        deltas = {str(b): v for b, v in deltas.items()}
+        all_bn = {os.path.basename(f) for v in list(files.values()) + list(deltas.values()) for f in v}
+        slice_meta = {
+            b: {
+                os.path.basename(f): [4, sorted(data.draw(st.sets(st.integers(0, 3), min_size=1)))]
+                for f in flist
+            }
+            for b, flist in files.items()
+        }
+        file_bytes = {bn: data.draw(st.integers(1, 10**9)) for bn in all_bn}
+        owners = {}
+        for section in (files, deltas):
+            for b, flist in section.items():
+                for f in flist:
+                    owners.setdefault(os.path.basename(f), set()).add(int(b))
+        m = {
+            "version": 7, "batch_ids": {"w": 3}, "schema": {"t": "s"},
+            "files": files, "deltas": deltas, "slice_meta": slice_meta,
+            "file_bytes": file_bytes,
+            "file_owners": {bn: sorted(bs) for bn, bs in owners.items()},
+            "bookmarks": {}, "num_buckets": 10, "keys": ["id"],
+            "order_by": ["seq"], "op_col": None, "fold_round": 0,
+        }
+        t = Stub(str(tmp_path / "p"))
+        core = t._split_sections(dict(m))
+        assert "files" not in core and "sections_ref" in core
+        back = assemble_manifest(t.path, core)
+        for k in ("files", "deltas", "slice_meta", "file_bytes", "file_owners", "batch_ids", "version"):
+            want = {b: v for b, v in m[k].items() if v} if k in ("files", "deltas", "slice_meta") else m[k]
+            assert back[k] == want, (k, back[k], want)
+
+    check()
