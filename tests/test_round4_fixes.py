@@ -741,3 +741,48 @@ def test_split_manifest_roundtrip_property(tmp_path):
             assert back[k] == want, (k, back[k], want)
 
     check()
+
+
+def test_bloom_key_index_lookup(spark, tmp_path):
+    """Per-file key blooms (key_index=True) prune point lookups to ~1
+    candidate file; correctness never depends on the index (files without
+    blooms — e.g. fold output — stay candidates)."""
+    path = str(tmp_path / "tbl_bloom")
+    t = LakeTable(spark, path, num_buckets=8, files_per_bucket=4)
+
+    def rows(data):
+        return spark.createDataFrame(
+            [(int(i), int(s), op, tx) for i, s, op, tx in data],
+            "id long, seq long, op string, text string",
+        )
+
+    t.merge_upsert(rows([(i, 0, "upsert", f"v0-{i}") for i in range(4000)]),
+                   keys=["id"], order_by=["seq"], batch_id=0, op_col="op",
+                   mode="cow", key_index=True)
+    t.merge_upsert(rows([(7, 1, "upsert", "v1-7"), (9, 1, "delete", "")]),
+                   keys=["id"], order_by=["seq"], batch_id=1, op_col="op",
+                   mode="mor", key_index=True)
+
+    out = t.lookup({"id": 7}).collect()
+    assert [(r["seq"], r["text"]) for r in out] == [(1, "v1-7")]
+    assert t.last_lookup_stats["candidate_files"] < t.last_lookup_stats["bucket_files"]
+    assert t.lookup({"id": 9}).collect() == []          # tombstoned
+    assert t.lookup({"id": 1234}).collect()[0]["seq"] == 0
+
+    # absent keys: blooms prune essentially all I/O (tolerate rare FPs)
+    total = 0
+    for k in range(10**6, 10**6 + 20):
+        assert t.lookup({"id": k}).collect() == []
+        total += t.last_lookup_stats["candidate_files"]
+    assert total <= 3, total
+
+    # fold output has no blooms -> still correct, just scans its granule
+    t.fold_every = 1
+    t.merge_upsert(rows([(42, 2, "upsert", "v2-42")]), keys=["id"],
+                   order_by=["seq"], batch_id=2, op_col="op",
+                   mode="cow_incremental", key_index=True)
+    assert t.lookup({"id": 42}).collect()[0]["text"] == "v2-42"
+    assert t.lookup({"id": 7}).collect()[0]["text"] == "v1-7"
+    # wrong key set refused
+    with pytest.raises(ValueError, match="merge keys"):
+        t.lookup({"nope": 1})
