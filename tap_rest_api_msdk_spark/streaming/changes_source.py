@@ -37,6 +37,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -132,6 +133,43 @@ class LakeTableChangesStreamReader(DataSourceStreamReader):
         pass
 
 
+class LakeTableChangesBatchReader(DataSourceReader):
+    """Batch-mode changelog read: one bounded window
+    (start_version, end_version] materialized as a DataFrame —
+
+        spark.read.format("laketable_changes").option("path", p)
+             .option("start_version", a).option("end_version", b).load()
+
+    Same commit walk, partitioning, and Arrow read path as the stream."""
+
+    def __init__(self, schema, options):
+        self._schema_json = schema.json()
+        self.table_path = options.get("path")
+        start = options.get("start_version")
+        if start is None:
+            raise ValueError(
+                "laketable_changes batch read requires .option('start_version', ...)"
+            )
+        self.start_v = int(start)
+        end = options.get("end_version")
+        if end is not None:
+            self.end_v = int(end)
+        else:
+            head = _head_version(self.table_path)
+            if head is None:
+                raise ValueError(f"no committed snapshot at {self.table_path!r}")
+            self.end_v = head
+
+    def partitions(self):
+        added = _added_files(self.table_path, self.start_v, self.end_v)
+        return [_FilePartition(file_path=f, commit_version=v) for f, v in added]
+
+    def read(self, partition):
+        rdr = LakeTableChangesStreamReader.__new__(LakeTableChangesStreamReader)
+        rdr.schema_json = self._schema_json
+        yield from LakeTableChangesStreamReader.read(rdr, partition)
+
+
 class LakeTableChangesDataSource(DataSource):
     """``format("laketable_changes")`` — see module docstring."""
 
@@ -164,3 +202,6 @@ class LakeTableChangesDataSource(DataSource):
 
     def streamReader(self, schema):
         return LakeTableChangesStreamReader(schema, self.options)
+
+    def reader(self, schema):
+        return LakeTableChangesBatchReader(schema, self.options)

@@ -1209,7 +1209,7 @@ class LakeTable:
                 # amortized O(table/fold_every) instead of O(table) per
                 # batch (DESIGN_hierarchical_bucketing.md). A fold that
                 # loses its CAS is simply deferred to the next round.
-                out["fold"] = self.fold_due()
+                out["fold"] = self.fold_due(key_index=key_index)
                 out["mode"] = "cow_incremental"
             return out
 
@@ -1908,7 +1908,7 @@ class LakeTable:
         delta_sel = [f for f in dfiles if residues(f) & due]
         return S_b, sorted(due), base_sel, delta_sel
 
-    def fold_due(self, k_fold: Optional[int] = None) -> dict:
+    def fold_due(self, k_fold: Optional[int] = None, key_index: bool = False) -> dict:
         """Fold the delta chains of the granules due this round into fresh
         base files — the staggered, (bucket, slice)-granular half of
         ``mode="cow_incremental"``. One LWW merge job over ONLY the due
@@ -2008,6 +2008,11 @@ class LakeTable:
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
         new_sizes = self._sizes_of(by_index)
+        new_blooms = (
+            self._compute_file_blooms(list(by_index.values()), keys)
+            if key_index
+            else None
+        )
         # claim ONLY the residues this fold actually rewrote (due granules,
         # lifted from depth S_b to the write depth S_w) — see _files_and_meta
         allowed = {
@@ -2055,7 +2060,7 @@ class LakeTable:
                 "slice_meta": slice_meta,
                 "fold_round": int(cur.get("fold_round", round_)) + 1,
                 "committed_at": time.time(),
-            }, new_sizes)
+            }, new_sizes, new_blooms=new_blooms)
 
         committed = self._try_commit(m, assemble)
         if committed is None:

@@ -164,3 +164,26 @@ def test_stream_tail_reconstructs_table_under_chaos(spark, tmp_path):
     want = {(r.repo, r.path): (r.seq, r.commit)
             for r in table.to_df().select("repo", "path", "seq", "commit").collect()}
     assert got == want
+
+
+def test_batch_changelog_read_window(spark, tmp_path):
+    """Batch mode: spark.read.format('laketable_changes') with a bounded
+    (start_version, end_version] window returns exactly that window's
+    data-commit rows with commit attribution."""
+    spark.dataSource.register(LakeTableChangesDataSource)
+    path = str(tmp_path / "tbl3")
+    t = LakeTable(spark, path, num_buckets=4)
+    vers = []
+    for b in range(4):
+        t.merge_upsert(_rows(spark, range(b * 5, b * 5 + 5), b, f"b{b}"),
+                       keys=["id"], order_by=["seq"], batch_id=b, mode="mor")
+        vers.append(t.current_manifest()["version"])
+    df = (spark.read.format("laketable_changes").option("path", path)
+          .option("start_version", vers[0]).option("end_version", vers[2]).load())
+    got = {(r["id"], r["__commit_version"]) for r in df.collect()}
+    assert {i for i, _ in got} == set(range(5, 15))  # batches 1 and 2 only
+    assert {v for _, v in got} == {vers[1], vers[2]}
+    # default end = head
+    df2 = (spark.read.format("laketable_changes").option("path", path)
+           .option("start_version", vers[2]).load())
+    assert {r["id"] for r in df2.collect()} == set(range(15, 20))
