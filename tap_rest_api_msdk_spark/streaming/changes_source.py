@@ -74,15 +74,53 @@ def _added_files(table_path: str, start_v: int, end_v: int):
     return walk_added_files(table_path, start_v, end_v)
 
 
+def _read_partition(schema_json: str, partition):
+    """Executor-side: one parquet file -> Arrow RecordBatches cast to the
+    declared schema (+ constant __commit_version) — vectorized, no per-row
+    Python. ``partition is None`` is PySpark's stand-in for an EMPTY batch
+    partition list (a caught-up window): yield nothing."""
+    if partition is None:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    spark_schema = StructType.fromJson(__import__("json").loads(schema_json))
+    arrow_schema = to_arrow_schema(spark_schema)
+    tbl = pq.read_table(partition.file_path)
+    n = tbl.num_rows
+    cols = []
+    for field in arrow_schema:
+        if field.name == "__commit_version":
+            cols.append(pa.array([partition.commit_version] * n, type=field.type))
+        elif field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type).combine_chunks())
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.table(cols, schema=arrow_schema)
+    yield from out.to_batches(max_chunksize=8192)
+
+
+def _start_version_option(options, default):
+    """Accept BOTH spellings on both read modes ('starting_version' per
+    the streaming docs, 'start_version' per the batch window)."""
+    for name in ("starting_version", "start_version"):
+        v = options.get(name)
+        if v is not None:
+            return int(v)
+    return default
+
+
 class LakeTableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("laketable_changes requires .option('path', ...)")
         self.schema_json = schema.json()
-        sv = options.get("starting_version")
+        sv = _start_version_option(options, None)
         if sv is not None:
-            self.start_version = int(sv)
+            self.start_version = sv
         else:
             head = _head_version(self.table_path)
             self.start_version = head if head is not None else -1
@@ -101,30 +139,7 @@ class LakeTableChangesStreamReader(DataSourceStreamReader):
         return [_FilePartition(file_path=f, commit_version=v) for f, v in added]
 
     def read(self, partition):
-        # executor-side: one parquet file -> Arrow RecordBatches cast to
-        # the declared schema (+ constant __commit_version) — vectorized,
-        # no per-row Python
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        spark_schema = StructType.fromJson(__import__("json").loads(self.schema_json))
-        arrow_schema = to_arrow_schema(spark_schema)
-        tbl = pq.read_table(partition.file_path)
-        n = tbl.num_rows
-        cols = []
-        for field in arrow_schema:
-            if field.name == "__commit_version":
-                cols.append(
-                    pa.array([partition.commit_version] * n, type=field.type)
-                )
-            elif field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type).combine_chunks())
-            else:
-                cols.append(pa.nulls(n, type=field.type))
-        out = pa.table(cols, schema=arrow_schema)
-        yield from out.to_batches(max_chunksize=8192)
+        yield from _read_partition(self.schema_json, partition)
 
     def commit(self, end: dict) -> None:
         pass
@@ -145,12 +160,12 @@ class LakeTableChangesBatchReader(DataSourceReader):
     def __init__(self, schema, options):
         self._schema_json = schema.json()
         self.table_path = options.get("path")
-        start = options.get("start_version")
+        start = _start_version_option(options, None)
         if start is None:
             raise ValueError(
                 "laketable_changes batch read requires .option('start_version', ...)"
             )
-        self.start_v = int(start)
+        self.start_v = start
         end = options.get("end_version")
         if end is not None:
             self.end_v = int(end)
@@ -165,9 +180,7 @@ class LakeTableChangesBatchReader(DataSourceReader):
         return [_FilePartition(file_path=f, commit_version=v) for f, v in added]
 
     def read(self, partition):
-        rdr = LakeTableChangesStreamReader.__new__(LakeTableChangesStreamReader)
-        rdr.schema_json = self._schema_json
-        yield from LakeTableChangesStreamReader.read(rdr, partition)
+        yield from _read_partition(self._schema_json, partition)
 
 
 class LakeTableChangesDataSource(DataSource):

@@ -108,13 +108,29 @@ _MANIFEST_CORE_KEYS = frozenset({
     "sections_ref",
 })
 
-#: per-file key-bloom parameters (Hudi bloom-index analog): 4096 bits =
-#: 64 little-endian int64 words, 3 lanes via Kirsch-Mitzenmacher double
-#: hashing over xxhash64 — small enough to live in the manifest section,
-#: selective enough to prune point lookups to ~1 candidate file
-BLOOM_BITS = 4096
-BLOOM_WORDS = BLOOM_BITS // 64
+#: per-file key-bloom parameters (Hudi bloom-index analog): 3 lanes via
+#: Kirsch-Mitzenmacher double hashing over salted xxhash64; the bit width
+#: is a TABLE knob (LakeTable.bloom_bits, default 16384 ≈ 10+ bits/key at
+#: typical file sizes — sub-1% false-positive candidates) and each stored
+#: entry records its own width, base64-packed little-endian
+BLOOM_BITS_DEFAULT = 16384
 BLOOM_K = 3
+
+
+def _pack_bloom(words: list) -> str:
+    import base64
+    import struct
+
+    raw = struct.pack(f"<{len(words)}Q", *((w & 0xFFFFFFFFFFFFFFFF) for w in words))
+    return base64.b64encode(raw).decode("ascii")
+
+
+def _unpack_bloom(b64: str) -> list:
+    import base64
+    import struct
+
+    raw = base64.b64decode(b64)
+    return list(struct.unpack(f"<{len(raw) // 8}Q", raw))
 
 #: manifest keys that split into per-bucket SECTION files (split manifests,
 #: the Iceberg manifest-list shape): the version file carries only core
@@ -325,6 +341,10 @@ class LakeTable:
         self.fold_trigger = "commits"
         self.fold_size_ratio = 0.5
         self.fold_min_bytes = 1 << 20
+        # key-bloom width for key_index=True commits (bits per file;
+        # ~10 bits per expected key per file keeps lookup false-positive
+        # candidates below 1%)
+        self.bloom_bits = BLOOM_BITS_DEFAULT
         # merge shuffle width is DECOUPLED from the bucket count: each
         # bucket may be written as up to ``files_per_bucket`` files, split
         # by a key-salt, so a 16-bucket table still merges with cores-scale
@@ -909,8 +929,13 @@ class LakeTable:
         BATCH's output, never the table."""
         if not files:
             return {}
-        h1 = F.xxhash64(*[F.col(k) for k in keys])
-        h2 = F.xxhash64(*[F.col(k) for k in keys], F.lit("__bloom__"))
+        m_bits = int(self.bloom_bits)
+        # BOTH lane seeds are salted: xxhash64(keys) is also the bucket
+        # hash, so within one bucket's file it only spans m/num_buckets
+        # positions — an unsalted lane 0 saturates and inflates false
+        # positives
+        h1 = F.xxhash64(*[F.col(k) for k in keys], F.lit("__bloom1__"))
+        h2 = F.xxhash64(*[F.col(k) for k in keys], F.lit("__bloom2__"))
         df = self.spark.read.parquet(*sorted(files)).select(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
             h1.alias("__h1"),
@@ -922,9 +947,9 @@ class LakeTable:
             F.transform(
                 F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
                 lambda i: F.pmod(
-                    F.pmod(F.col("__h1"), F.lit(BLOOM_BITS))
-                    + i * F.pmod(F.col("__h2"), F.lit(BLOOM_BITS)),
-                    F.lit(BLOOM_BITS),
+                    F.pmod(F.col("__h1"), F.lit(m_bits))
+                    + i * F.pmod(F.col("__h2"), F.lit(m_bits)),
+                    F.lit(m_bits),
                 ),
             )
         ).alias("__pos")
@@ -939,17 +964,21 @@ class LakeTable:
             .agg(F.bit_or("__m").alias("__bits"))
             .collect()
         )
-        blooms: dict = {}
+        acc: dict = {}
         for r in words:
-            blooms.setdefault(r["__f"], [0] * BLOOM_WORDS)[r["__w"]] = int(r["__bits"])
-        return blooms
+            acc.setdefault(r["__f"], [0] * (m_bits // 64))[r["__w"]] = int(r["__bits"])
+        return {f: [m_bits, _pack_bloom(w)] for f, w in acc.items()}
 
     @staticmethod
-    def _bloom_may_contain(bloom: list, h1: int, h2: int) -> bool:
-        b1, b2 = h1 % BLOOM_BITS, h2 % BLOOM_BITS  # Python % is >= 0
+    def _bloom_may_contain(entry, h1: int, h2: int) -> bool:
+        if isinstance(entry, list) and len(entry) == 2 and isinstance(entry[1], str):
+            m_bits, words = int(entry[0]), _unpack_bloom(entry[1])
+        else:  # early-r4 format: raw 4096-bit word list
+            m_bits, words = 4096, [int(w) for w in entry]
+        b1, b2 = h1 % m_bits, h2 % m_bits  # Python % is >= 0
         for i in range(BLOOM_K):
-            p = (b1 + i * b2) % BLOOM_BITS
-            if not (int(bloom[p >> 6]) >> (p & 63)) & 1:
+            p = (b1 + i * b2) % m_bits
+            if not (words[p >> 6] >> (p & 63)) & 1:
                 return False
         return True
 
@@ -977,8 +1006,8 @@ class LakeTable:
             F.pmod(
                 F.xxhash64(*keys, F.lit("__salt__")), F.lit(SLICE_MOD)
             ).cast("int").alias("s64"),
-            F.xxhash64(*keys).alias("h1"),
-            F.xxhash64(*keys, F.lit("__bloom__")).alias("h2"),
+            F.xxhash64(*keys, F.lit("__bloom1__")).alias("h1"),
+            F.xxhash64(*keys, F.lit("__bloom2__")).alias("h2"),
         ).collect()[0]
         b_str = str(row["b"])
         bmeta = m.get("slice_meta", {}).get(b_str, {})
@@ -1001,16 +1030,8 @@ class LakeTable:
             "candidate_files": len(candidates),
         }
         op_col = m.get("op_col")
-        stored = T.StructType(
-            schema.fields + [T.StructField("__bucket", T.IntegerType(), True)]
-        )
-        if not candidates:
-            out = self.spark.createDataFrame([], stored).drop("__bucket")
-        else:
-            pairs = [(os.path.basename(f), int(b_str)) for f in candidates]
-            out = self._read_resolved_subset(
-                m, set(candidates), pairs, None, op_col
-            )
+        pairs = [(os.path.basename(f), int(b_str)) for f in candidates]
+        out = self._read_resolved_subset(m, set(candidates), pairs, None, op_col)
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(k) == F.lit(values[k]))
@@ -1157,17 +1178,6 @@ class LakeTable:
             return df.select(*cols)
 
         batch = align(batch_df).withColumn("__bucket", self._bucket_col(keys))
-        if precombine and mode == "cow":
-            # hot-KEY skew guard for duplicate-heavy COW batches: the MOR
-            # path always pre-shrinks (its delta IS the within-batch LWW
-            # winner set), but plain COW's window merge would land every
-            # version of a hot key in one task. lww_dedup is a map-side-
-            # combined aggregate, so a key's duplicates collapse per input
-            # partition BEFORE any exchange — opt-in because unique-key
-            # batches would pay an extra exchange for nothing.
-            from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
-
-            batch = lww_dedup(batch, list(keys) + ["__bucket"], list(order_by))
 
         foot = None
         if affected_granules is not None and mode == "cow" and m is not None:
@@ -1196,6 +1206,21 @@ class LakeTable:
             affected = sorted(foot)
         else:
             affected = [int(r[0]) for r in batch.select("__bucket").distinct().collect()]
+
+        if precombine and mode == "cow":
+            # hot-KEY skew guard for duplicate-heavy COW batches: the MOR
+            # path always pre-shrinks (its delta IS the within-batch LWW
+            # winner set), but plain COW's window merge would land every
+            # version of a hot key in one task. lww_dedup is a map-side-
+            # combined aggregate, so a key's duplicates collapse per input
+            # partition BEFORE any exchange — opt-in because unique-key
+            # batches would pay an extra exchange for nothing. Applied
+            # AFTER the footprint collection (distinct (bucket, slice) sets
+            # are identical pre/post-dedup) so the footprint action never
+            # recomputes this aggregate.
+            from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+            batch = lww_dedup(batch, list(keys) + ["__bucket"], list(order_by))
 
         if mode in ("mor", "cow_incremental"):
             out = self._append_delta(

@@ -187,3 +187,27 @@ def test_batch_changelog_read_window(spark, tmp_path):
     df2 = (spark.read.format("laketable_changes").option("path", path)
            .option("start_version", vers[2]).load())
     assert {r["id"] for r in df2.collect()} == set(range(15, 20))
+
+
+def test_batch_changelog_empty_window_returns_zero_rows(spark, tmp_path):
+    """A caught-up window (start == head, or maintenance-only commits)
+    must return 0 rows — PySpark hands read() a None partition for an
+    empty partition list."""
+    spark.dataSource.register(LakeTableChangesDataSource)
+    path = str(tmp_path / "tbl4")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(10), 0, "x"), keys=["id"],
+                   order_by=["seq"], batch_id=0, mode="mor")
+    head = t.current_manifest()["version"]
+    df = (spark.read.format("laketable_changes").option("path", path)
+          .option("start_version", head).load())
+    assert df.count() == 0
+    # maintenance-only window: compact bumps the version, adds no changes
+    t.compact()
+    df2 = (spark.read.format("laketable_changes").option("path", path)
+           .option("start_version", head).load())
+    assert df2.count() == 0
+    # both option spellings accepted on both modes
+    df3 = (spark.read.format("laketable_changes").option("path", path)
+           .option("starting_version", -1).load())
+    assert df3.count() == 10
