@@ -196,6 +196,29 @@ def assemble_manifest(table_path: str, m: Optional[dict]) -> Optional[dict]:
     return out
 
 
+def section_of(table_path: str, core: Optional[dict], b_str: str) -> dict:
+    """ONE bucket's section of a (possibly unassembled) manifest:
+    bucket-scoped consumers (point lookups, single-bucket readers) parse
+    O(1) metadata instead of assembling the whole manifest — the
+    completion of the split-manifest design for the read side. Pre-split
+    manifests fall back to their inline sections."""
+    if not core:
+        return {}
+    refs = core.get("sections_ref")
+    if refs is not None:
+        rel = refs.get(b_str)
+        if rel is None:
+            return {}
+        return _load_section(os.path.join(table_path, "manifests", rel))
+    return {
+        "files": core.get("files", {}).get(b_str, []),
+        "deltas": core.get("deltas", {}).get(b_str, []),
+        "slice_meta": core.get("slice_meta", {}).get(b_str, {}),
+        "file_bytes": core.get("file_bytes", {}),
+        "key_blooms": core.get("key_blooms", {}),
+    }
+
+
 def load_manifest_at(table_path: str, version: int) -> Optional[dict]:
     """Assembled snapshot manifest at ``version`` (module-level so metadata
     consumers — e.g. the streaming changes source — need no SparkSession)."""
@@ -405,18 +428,25 @@ class LakeTable:
         verdict's O(versions) directory listing is the fallback, used
         only when the hint is missing/stale-beyond-repair).
         ``last_head_reads`` records the probe count for accounting."""
+        m = self._current_core()
+        return assemble_manifest(self.path, m)
+
+    def _current_core(self) -> Optional[dict]:
+        """The HEAD version file WITHOUT section assembly — enough for
+        core properties (schema, keys, ledgers) and for bucket-scoped
+        consumers that resolve single sections via ``section_of``."""
         v, probes = _head_with_reads(self.path)
         if v is not None:
             try:
                 with open(self._manifest_path(v)) as fh:
                     out = json.load(fh)
                 self.last_head_reads = probes + 1
-                return assemble_manifest(self.path, out)
+                return out
             except (json.JSONDecodeError, OSError, FileNotFoundError):
                 pass  # fall through to the parse-tolerant listing walk
-        return self._current_manifest_by_listing()
+        return self._current_manifest_by_listing(assemble=False)
 
-    def _current_manifest_by_listing(self) -> Optional[dict]:
+    def _current_manifest_by_listing(self, assemble: bool = True) -> Optional[dict]:
         """O(versions) fallback: list manifests/ and walk downward past
         unparseable top files (a crashed legacy writer's partial write)."""
         mdir = os.path.join(self.path, "manifests")
@@ -428,15 +458,19 @@ class LakeTable:
         except FileNotFoundError:
             names = []
         self.last_head_reads = len(names) + 1
+
+        def _out(raw):
+            return assemble_manifest(self.path, raw) if assemble else raw
+
         for name in names:
             try:
                 with open(os.path.join(mdir, name)) as fh:
-                    return assemble_manifest(self.path, json.load(fh))
+                    return _out(json.load(fh))
             except (json.JSONDecodeError, OSError):
                 continue
         try:
             with open(self._pointer_path()) as fh:
-                return assemble_manifest(self.path, json.load(fh))
+                return _out(json.load(fh))
         except FileNotFoundError:
             return None
 
@@ -989,8 +1023,13 @@ class LakeTable:
         written without ``key_index=True`` — stay candidates), reads only
         the surviving files, LWW-resolves, and filters the exact key.
         ``last_lookup_stats`` records the pruning funnel. Returns None on
-        an empty table."""
-        m = self.current_manifest()
+        an empty table.
+
+        Metadata cost is bucket-scoped: the CORE version file plus ONE
+        bucket section are parsed (``section_of``) — never the full
+        manifest — so point lookups stay O(1) metadata at any table
+        size."""
+        m = self._current_core()
         if m is None:
             return None
         keys = list(m["keys"])
@@ -1010,9 +1049,10 @@ class LakeTable:
             F.xxhash64(*keys, F.lit("__bloom2__")).alias("h2"),
         ).collect()[0]
         b_str = str(row["b"])
-        bmeta = m.get("slice_meta", {}).get(b_str, {})
-        blooms = m.get("key_blooms", {})
-        bucket_files = self._bucket_files(m, b_str)
+        sec = section_of(self.path, m, b_str)
+        bmeta = sec.get("slice_meta", {}) or {}
+        blooms = sec.get("key_blooms", {}) or {}
+        bucket_files = list(sec.get("files", [])) + list(sec.get("deltas", []))
         candidates = []
         for f in bucket_files:
             bn = os.path.basename(f)
@@ -1028,6 +1068,7 @@ class LakeTable:
         self.last_lookup_stats = {
             "bucket_files": len(bucket_files),
             "candidate_files": len(candidates),
+            "sections_loaded": 1,
         }
         op_col = m.get("op_col")
         pairs = [(os.path.basename(f), int(b_str)) for f in candidates]

@@ -786,3 +786,31 @@ def test_bloom_key_index_lookup(spark, tmp_path):
     # wrong key set refused
     with pytest.raises(ValueError, match="merge keys"):
         t.lookup({"nope": 1})
+
+
+def test_lookup_metadata_is_bucket_scoped(spark, tmp_path):
+    """Point lookups parse the core version file plus exactly ONE bucket
+    section — never the full manifest (section-load accounting via the
+    content cache)."""
+    import tap_rest_api_msdk_spark.streaming.laketable as LT
+
+    path = str(tmp_path / "tbl_scoped")
+    t = LakeTable(spark, path, num_buckets=32)
+    t.merge_upsert(_rows(spark, range(3000), 0, "x"), keys=["id"],
+                   order_by=["seq"], batch_id=0, mode="cow", key_index=True)
+    LT._SECTION_CACHE.clear()
+    loads = []
+    orig = LT._load_section
+
+    def counting(p):
+        loads.append(p)
+        return orig(p)
+
+    LT._load_section = counting
+    try:
+        out = t.lookup({"id": 7}).collect()
+    finally:
+        LT._load_section = orig
+    assert len(out) == 1
+    assert len(set(loads)) == 1, loads  # one section for a 32-bucket table
+    assert t.last_lookup_stats["sections_loaded"] == 1
