@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear_score": Q.q_quality_linear_score,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
+        "dedup_survivors_quality": Q.q_dedup_survivors_quality,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -375,6 +376,54 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as min_id
             from documents
             where doc_id not in (select doc_id from losers)
+        """,
+        # quality-aware survivor selection: per near-dup cluster keep the
+        # best-scoring member (tie-break doc_id) — dedup x quality compose
+        "dedup_survivors_quality": f"""
+            with recursive pairs as (
+                select id_a, id_b from ({portable_minhash_oracle_sql(
+                    "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
+                )}) q
+            ), edges as (
+                select id_a as a, id_b as b from pairs
+                union
+                select id_b, id_a from pairs
+            ), reach(src, dst) as (
+                select a, b from edges
+                union
+                select r.src, e.b from reach r join edges e on r.dst = e.a
+            ), comp as (
+                select src as node, least(src, min(dst)) as comp
+                from reach group by src
+            ), tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), agg as (
+                select doc_id,
+                       count(*) as n_tok,
+                       count(distinct tk) as n_distinct,
+                       cast(sum(len(tk)) as bigint) as sum_len,
+                       cast(sum(case when tk in ('the','a','of','and','to','in','is','it')
+                                     then 1 else 0 end) as bigint) as n_stop
+                from tok group by doc_id
+            ), qsc as (
+                select doc_id,
+                       floor(((((n_distinct / cast(n_tok as double)) * 5e-1
+                               - (n_stop / cast(n_tok as double)) * 8e-1)
+                              + (sum_len / cast(n_tok as double)) * 1e-1)
+                             + n_tok * 2e-3) * 10000) / 10000 as quality_score
+                from agg
+            ), m as (
+                select c.comp, c.node, qsc.quality_score,
+                       row_number() over (
+                           partition by c.comp
+                           order by qsc.quality_score desc, c.node desc
+                       ) as rn,
+                       count(*) over (partition by c.comp) as n_members
+                from comp c join qsc on qsc.doc_id = c.node
+            )
+            select comp, cast(n_members as bigint) as n_members,
+                   node as keep_id, quality_score as keep_score
+            from m where rn = 1
         """,
         # deterministic hash-threshold splits (90/5/5 of the hash60 range)
         "sample_split": f"""

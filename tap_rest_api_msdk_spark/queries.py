@@ -1114,3 +1114,38 @@ def q_pii_scrub(spark, sf_dir):
         .cast("long")
         .alias("n_redactions"),
     )
+
+
+def q_dedup_survivors_quality(spark, sf_dir):
+    """Quality-aware survivor selection (the policy real pipelines use
+    instead of keep-min-id): near-dup pairs -> connected components ->
+    per cluster, KEEP the member with the best quality_linear_score
+    (doc_id as the deterministic tie-break). One row per cluster with its
+    size and the kept doc — composes the dedup and model-based-quality
+    operators end to end."""
+    from tap_rest_api_msdk_spark.operators.neardup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
+                          threshold=0.5, portable=True)
+    comps = connected_components(pairs)
+    q = q_quality_linear_score(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "quality_score"
+    )
+    scored = comps.join(q, "node")
+    return (
+        scored.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct("quality_score", "node")).alias("__best"),
+        )
+        .select(
+            "comp",
+            "n_members",
+            F.col("__best.node").alias("keep_id"),
+            F.col("__best.quality_score").alias("keep_score"),
+        )
+    )
