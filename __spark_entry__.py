@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": Q.q_text_unigram_surprisal,
         "substring_dup_rate": Q.q_substring_dup_rate,
         "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
+        "decontaminate_ngram_shuffle": Q.q_decontaminate_ngram_shuffle,
         "quality_linear_score": Q.q_quality_linear_score,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
@@ -153,7 +154,7 @@ _HITS = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "lww_latest_state": """
             with ranked as (
                 select *, row_number() over (
@@ -1061,3 +1062,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2
         """,
     }
+    # join-strategy variants share one truth: broadcast vs shuffle must
+    # never change the answer, so both pin to the SAME oracle SQL
+    d["decontaminate_ngram_shuffle"] = d["decontaminate_ngram_overlap"]
+    return d

@@ -1,0 +1,129 @@
+"""Benchmark decontamination (13-gram-collision rule) with a
+scale-aware join strategy.
+
+The reference tap has no decontamination (it delegates all transforms to
+Singer targets, tap.py:66-70); this is an engine extension for the
+LLM-training-data pipeline surface.
+
+The operator marks every TRAIN document with how many of its distinct
+n-token shingles collide with the gram set of a held-out EVAL split.
+Grams are hashed to 8 bytes (``xxhash64``) before they ever leave their
+row, so neither join side shuffles gram *strings*.
+
+Join strategy — the 100 TB concern:
+
+* A real benchmark set is small by construction, so the eval-gram side
+  normally BROADCASTS: the train side stays where it is, zero shuffle.
+* But "eval" is a user-supplied predicate; nothing guarantees it selects
+  a broadcastable set (a 1 % split of 100 TB is 1 TB). A hard-coded
+  broadcast hint would OOM every executor.  ``join_mode="auto"``
+  therefore sizes the eval side first with a cheap UPPER BOUND — one
+  aggregate over the eval split only (``sum(token_count - n + 1)``, a
+  column-pruned scan of the small side; gram count can never exceed it)
+  — and falls back to a plain shuffled equi-join on the 8-byte gram hash
+  when the bound exceeds ``broadcast_max_grams``.  The fallback plan is
+  the classic inverted-index shape: both sides hash-partition on the
+  gram hash, so skew is bounded by gram frequency, not document size.
+
+Modes: ``auto`` (size-estimated, default), ``broadcast`` (force hint),
+``shuffle`` (force the scalable plan; what auto picks at 100 TB).
+Both paths produce identical results (same oracle SQL).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_hash_grams(text: Column, n: int = 13) -> Column:
+    """All n-token shingles of whitespace-tokenized lowercased ``text``,
+    each hashed to a bigint with ``xxhash64`` — pure JVM expression, no
+    Python, no gram strings leaving the row. Docs shorter than ``n``
+    tokens yield an empty array."""
+    tokens = F.split(F.lower(F.trim(text)), "\\s+")
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _eval_gram_upper_bound(docs: DataFrame, text_col: str, n: int) -> int:
+    """Driver-side upper bound on the eval split's distinct-gram count:
+    one aggregate over the (already filtered) eval side — a doc with t
+    tokens has at most t - n + 1 grams. Column-pruned scan of the small
+    side only; never touches the train corpus."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    row = docs.select(
+        F.coalesce(
+            F.sum(F.greatest(F.size(tokens) - (n - 1), F.lit(0))), F.lit(0)
+        ).alias("g")
+    ).first()
+    return int(row["g"])
+
+
+def decontaminate_ngram_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    eval_pred: Optional[Column] = None,
+    join_mode: str = "auto",
+    broadcast_max_grams: int = 2_000_000,
+) -> DataFrame:
+    """Per TRAIN doc: distinct n-gram count, how many collide with the
+    EVAL split's gram set, and a contaminated flag.
+
+    ``eval_pred`` selects the eval split (default ``id_col % 20 == 0``,
+    portable to the SQL oracle). ``join_mode``: see module docstring.
+    """
+    if join_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"join_mode must be auto|broadcast|shuffle, got {join_mode!r}")
+    if eval_pred is None:
+        eval_pred = F.col(id_col) % 20 == 0
+
+    grams = ngram_hash_grams(F.col(text_col), n)
+    eval_docs = docs.filter(eval_pred)
+    eval_g = eval_docs.select(F.explode(grams).alias("g")).distinct()
+    train_g = (
+        docs.filter(~eval_pred)
+        .select(id_col, F.explode_outer(grams).alias("g"))
+        .distinct()
+    )
+
+    mode = join_mode
+    if mode == "auto":
+        bound = _eval_gram_upper_bound(eval_docs, text_col, n)
+        mode = "broadcast" if bound <= broadcast_max_grams else "shuffle"
+
+    probe = eval_g.withColumn("__hit", F.lit(1))
+    if mode == "broadcast":
+        probe = F.broadcast(probe)
+    else:
+        # pin the shuffled-hash plan (build side = eval grams, no sort):
+        # without the hint Catalyst's size estimate would re-pick
+        # broadcast at small scale, which is exactly the guess this mode
+        # exists to overrule when the bound says the side is too big
+        probe = probe.hint("shuffle_hash")
+    hits = train_g.join(probe, "g", "left")
+
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_grams"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )

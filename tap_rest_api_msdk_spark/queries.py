@@ -989,44 +989,34 @@ def q_decontaminate_ngram_overlap(spark, sf_dir):
     Scale shape: the eval-gram side of the join is a benchmark set —
     small by construction — so it BROADCASTS (eval grams are hashed to 8
     bytes with xxhash64 before shipping); the train side never shuffles
-    on the gram string. Docs shorter than 13 tokens report 0 grams."""
+    on the gram string. Docs shorter than 13 tokens report 0 grams.
+    Delegates to the operator in ``join_mode="auto"``: the eval side is
+    sized with a cheap upper bound first, so an oversized eval split
+    falls back to the shuffled inverted-index plan instead of OOMing the
+    executors on a forced broadcast."""
+    from tap_rest_api_msdk_spark.operators.decontaminate import (
+        decontaminate_ngram_overlap,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    N = 13
-    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    grams = F.when(
-        F.size(tokens) >= N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (N - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, N))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    is_eval = F.col("doc_id") % 20 == 0
-    eval_g = (
-        docs.filter(is_eval).select(F.explode(grams).alias("g")).distinct()
+    return decontaminate_ngram_overlap(docs, "doc_id", "text", n=13,
+                                       join_mode="auto")
+
+
+def q_decontaminate_ngram_shuffle(spark, sf_dir):
+    """The decontamination operator's SCALE path, pinned: same 13-gram
+    collision semantics, but the eval-gram probe is joined with a plain
+    shuffled equi-join on the 8-byte gram hash (what ``auto`` picks when
+    the eval-side size bound exceeds the broadcast budget — e.g. a 1 %
+    split of 100 TB). Same oracle as the broadcast path: the strategy
+    must never change the answer."""
+    from tap_rest_api_msdk_spark.operators.decontaminate import (
+        decontaminate_ngram_overlap,
     )
-    train_g = (
-        docs.filter(~is_eval)
-        .select("doc_id", F.explode_outer(grams).alias("g"))
-        .distinct()
-    )
-    hits = train_g.join(
-        F.broadcast(eval_g.withColumn("__hit", F.lit(1))), "g", "left"
-    )
-    return (
-        hits.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).alias("n_grams"),
-            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
-                "n_contaminated"
-            ),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_contaminated",
-            (F.col("n_contaminated") > 0).alias("contaminated"),
-        )
-    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_ngram_overlap(docs, "doc_id", "text", n=13,
+                                       join_mode="shuffle")
 
 
 def q_quality_linear_score(spark, sf_dir):

@@ -237,6 +237,33 @@ def test_round4_new_queries_shaped(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_decontaminate_join_strategy_switch(spark):
+    """The decontamination operator's join strategy is size-aware: auto
+    broadcasts a benchmark-sized eval split, but an eval side past the
+    broadcast budget (forced here with a tiny budget) must fall back to a
+    shuffled join on the 8-byte gram hash — a forced broadcast of an
+    oversized eval split would OOM every executor at 100 TB."""
+    from tap_rest_api_msdk_spark.operators.decontaminate import (
+        decontaminate_ngram_overlap,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # auto with a 1-gram budget -> must pick the shuffled plan
+    plan = plan_of(
+        decontaminate_ngram_overlap(docs, join_mode="auto", broadcast_max_grams=1)
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the pinned shuffle query takes the same plan
+    plan = plan_of(QUERIES["decontaminate_ngram_shuffle"](spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # and auto with the default budget still broadcasts at test scale
+    plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pii_scrub_is_projection_only(spark):
     """Redaction is one native projection: no UDF, no shuffle, no join."""
     plan = plan_of(QUERIES["pii_scrub"](spark, SF_DIR))
