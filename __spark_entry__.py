@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
         "decontaminate_ngram_shuffle": Q.q_decontaminate_ngram_shuffle,
         "quality_linear_score": Q.q_quality_linear_score,
+        "quality_percentile_filter": Q.q_quality_percentile_filter,
+        "sample_temperature": Q.q_sample_temperature,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
         "dedup_survivors_quality": Q.q_dedup_survivors_quality,
@@ -1065,4 +1067,61 @@ def oracle_sql() -> dict[str, str]:
     # join-strategy variants share one truth: broadcast vs shuffle must
     # never change the answer, so both pin to the SAME oracle SQL
     d["decontaminate_ngram_shuffle"] = d["decontaminate_ngram_overlap"]
+    # per-source quality flooring: oracle = the simple per-source global
+    # rank; the Spark plan reaches the same set via the histogram-cutoff
+    # decomposition (no giant per-source window partitions at scale)
+    d["quality_percentile_filter"] = f"""
+        with tok as (
+            select doc_id, source, unnest({_WS_TOKENS}) as tk from documents
+        ), agg as (
+            select doc_id, source,
+                   count(*) as n_tok,
+                   count(distinct tk) as n_distinct,
+                   cast(sum(len(tk)) as bigint) as sum_len,
+                   cast(sum(case when tk in ('the','a','of','and','to','in','is','it')
+                                 then 1 else 0 end) as bigint) as n_stop
+            from tok group by doc_id, source
+        ), qsc as (
+            select doc_id, source,
+                   floor(((((n_distinct / cast(n_tok as double)) * 5e-1
+                           - (n_stop / cast(n_tok as double)) * 8e-1)
+                          + (sum_len / cast(n_tok as double)) * 1e-1)
+                         + n_tok * 2e-3) * 10000) / 10000 as quality_score
+            from agg
+        ), r as (
+            select *,
+                   row_number() over (
+                       partition by source
+                       order by quality_score desc, doc_id
+                   ) as rn,
+                   count(*) over (partition by source) as n
+            from qsc
+        )
+        select doc_id, source, quality_score
+        from r where rn <= (n * 3) // 4
+    """
+    # sqrt-temperature source mixing: keep fraction anchored at the max
+    # source (no order-dependent float sum); selection pinned by hash60
+    d["sample_temperature"] = """
+        with counts as (
+            select source, count(*) as n_src from documents group by source
+        ), mx as (
+            select max(n_src) as n_max from counts
+        ), thr as (
+            select source, n_src,
+                   cast(floor(least(1.0, 0.5 * sqrt(cast(n_max as double)
+                                                    / cast(n_src as double)))
+                              * 1152921504606846975.0) as bigint) as thr
+            from counts, mx
+        ), kept as (
+            select d.doc_id, d.source, t.n_src
+            from documents d join thr t on d.source = t.source
+            where cast(concat('0x', substr(md5(cast(d.doc_id as varchar)), 1, 15))
+                       as bigint) <= t.thr
+        )
+        select source, max(n_src) as n_src,
+               cast(count(*) as bigint) as n_kept,
+               bit_xor(doc_id) as xor_kept_ids
+        from kept group by source
+    """
     return d

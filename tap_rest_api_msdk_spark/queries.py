@@ -1139,3 +1139,100 @@ def q_dedup_survivors_quality(spark, sf_dir):
             F.col("__best.quality_score").alias("keep_score"),
         )
     )
+
+
+def q_quality_percentile_filter(spark, sf_dir):
+    """Per-source quality flooring (the per-domain percentile cutoff real
+    pipelines apply after model-based scoring): within each source, keep
+    the top 75 % of docs by quality_linear_score, ties broken by doc_id.
+
+    Scale shape: a naive rank-per-source is a window over the SOURCE
+    partition — a handful of giant partitions at 100 TB. This plan keeps
+    the per-doc work fine-grained: (1) build the per-(source, score)
+    HISTOGRAM (map-side-combined aggregate), (2) run the cumulative
+    window over the tiny histogram (rows = distinct scores, not docs),
+    (3) broadcast the cutoff table back and rank docs only WITHIN their
+    (source, score) group — fine-grained window partitions — keeping a
+    doc iff cum_before + rank_in_group <= floor(3n/4). Identical output
+    to the oracle's per-source global rank."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to", "in", "is", "it")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tok = docs.select("doc_id", "source", F.explode(tokens).alias("tk"))
+    agg = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("tk").alias("n_distinct"),
+        F.sum(F.length("tk")).alias("sum_len"),
+        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0)).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tok")
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    mean_len = F.col("sum_len") / F.col("n_tok")
+    score = ((ttr * 0.5 - stop_ratio * 0.8) + mean_len * 0.1) + F.col(
+        "n_tok"
+    ) * 0.002
+    qsc = agg.select(
+        "doc_id", "source", (F.floor(score * 1e4) / 1e4).alias("quality_score")
+    )
+    hist = qsc.groupBy("source", "quality_score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_src = Window.partitionBy("source")
+    w_cum = w_src.orderBy(F.col("quality_score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cuts = hist.select(
+        "source",
+        "quality_score",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+        F.expr("(sum(c) over (partition by source) * 3) div 4").alias(
+            "keep_total"
+        ),
+    )
+    w_grp = Window.partitionBy("source", "quality_score").orderBy("doc_id")
+    ranked = qsc.withColumn("rn", F.row_number().over(w_grp))
+    return (
+        ranked.join(F.broadcast(cuts), ["source", "quality_score"])
+        .filter(F.col("cum_before") + F.col("rn") <= F.col("keep_total"))
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-balanced source mixing (multilingual/multi-domain
+    rebalancing, alpha = 0.5): each source keeps a deterministic
+    hash-thresholded subset with keep fraction
+    ``min(1, 0.5 * sqrt(n_max / n_src))`` — the largest source halves,
+    smaller sources keep proportionally more (sqrt-flattened), anchored
+    at the head source so no cross-source float SUM is needed (a
+    distributed double sum is addition-order-dependent; max is not).
+    sqrt / * / / are IEEE correctly rounded, so the per-source threshold
+    is bit-identical across engines. Selection is pinned by the portable
+    60-bit hash of doc_id — a pure function of the row, stable across
+    runs, engines, and cluster sizes. Output pins the exact kept set per
+    source via count + XOR of kept ids (order-independent, bounded)."""
+    from tap_rest_api_msdk_spark.functions.portable_hash import HASH60_MAX, hash60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_max = counts.agg(F.max("n_src").alias("n_max"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(0.5)
+        * F.sqrt(F.col("n_max").cast("double") / F.col("n_src").cast("double")),
+    )
+    thr = counts.crossJoin(F.broadcast(n_max)).select(
+        "source",
+        "n_src",
+        F.floor(frac * F.lit(float(HASH60_MAX))).cast("long").alias("thr"),
+    )
+    kept = docs.join(F.broadcast(thr), "source").filter(
+        hash60(F.col("doc_id").cast("string")) <= F.col("thr")
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_src").alias("n_src"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("bit_xor(doc_id)").alias("xor_kept_ids"),
+    )

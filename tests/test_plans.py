@@ -264,6 +264,29 @@ def test_decontaminate_join_strategy_switch(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_quality_percentile_and_temperature_plans(spark):
+    """The per-source percentile filter must not rank docs in per-source
+    window partitions (a handful of giant partitions at 100 TB): the
+    doc-side window is partitioned by (source, quality_score) — the
+    source-only cumulative window runs over the tiny histogram — and the
+    cutoff table broadcasts back. Temperature mixing broadcasts its
+    per-source thresholds; both hot paths stay Python-free."""
+    import re
+
+    plan = plan_of(QUERIES["quality_percentile_filter"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the doc-side row_number partitions by (source, quality_score, -> doc_id order)
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, quality_score#\d+, doc_id", plan
+    )
+
+    plan = plan_of(QUERIES["sample_temperature"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan and "partial_" in plan
+    assert "Window" not in plan  # no window at all: aggregates + broadcasts
+
+
 def test_pii_scrub_is_projection_only(spark):
     """Redaction is one native projection: no UDF, no shuffle, no join."""
     plan = plan_of(QUERIES["pii_scrub"](spark, SF_DIR))
