@@ -127,3 +127,74 @@ def test_net_changes_default_start_survives_empty_first_drain(spark, tmp_path):
                    order_by=["seq"], batch_id=2, op_col="op", mode="mor")
     stream_net_changes(t, rep.apply, ckpt)
     assert rep.state == {4: (1, "b1-4"), 5: (2, "b2-5")}
+
+
+def test_net_changes_reconstructs_pipeline_table_under_chaos(spark, tmp_path):
+    """Soak: the NET-changes stream consumes a pipeline that rotates sink
+    modes, replays duplicate batch ids, compacts, vacuums, and expires
+    metadata. Applying each window's insert/update/delete diff to a
+    replica must end at exactly the table's live state — the row-level
+    CDC-consumer contract under full maintenance chaos."""
+    import random
+
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    rng = random.Random(11)
+    N = 3000
+    wal = synth_repo_wal(spark, N, n_repos=6, n_paths=25, skew=4.0,
+                         delete_mod=20, shredded=True).cache()
+    wal.count()
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    table = LakeTable(spark, path, num_buckets=8)
+    replica = {}
+    windows = []
+
+    def apply(diff, batch_id, window):
+        windows.append(window)
+        attrs = [c for c in diff.columns if c not in
+                 ("repo", "path", "change", "before", "after")]
+        assert attrs == []
+        for r in diff.collect():
+            k = (r["repo"], r["path"])
+            if r["change"] == "delete":
+                assert k in replica
+                replica.pop(k)
+            else:
+                if r["change"] == "insert":
+                    assert k not in replica
+                replica[k] = r["after"].asDict()
+
+    cuts = sorted(rng.sample(range(1, N), 6))
+    bounds = [-1] + cuts + [N]
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        conf = PipelineConfig(
+            stream="chaos-net", payload_col="payload", num_buckets=8,
+            sink_mode=rng.choice(["cow", "mor", "cow_incremental"]),
+        )
+        batch = wal.filter((F.col("seq") > s) & (F.col("seq") <= e))
+        process_batch(table, conf, batch, i)
+        if rng.random() < 0.5:
+            process_batch(table, conf, batch, i)  # duplicate delivery
+        stream_net_changes(table, apply, ckpt, starting_version=-1)
+        if rng.random() < 0.4:
+            table.compact()
+            table.vacuum(retain_last=6)
+        if rng.random() < 0.3:
+            table.expire_manifests(retain_last=30, grace_seconds=0.0)
+
+    stream_net_changes(table, apply, ckpt)
+    live = table.to_df()
+    keycols = ["repo", "path"]
+    attrcols = [c for c in live.columns if c not in keycols]
+    want = {
+        (r["repo"], r["path"]): {c: r[c] for c in attrcols}
+        for r in live.collect()
+    }
+    assert replica == want
+    # windows were contiguous and monotonic
+    for (_, e0), (s1, _) in zip(windows, windows[1:]):
+        assert s1 == e0
