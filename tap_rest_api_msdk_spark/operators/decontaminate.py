@@ -10,29 +10,39 @@ n-token shingles collide with the gram set of a held-out EVAL split.
 Grams are hashed to 8 bytes (``xxhash64``) before they ever leave their
 row, so neither join side shuffles gram *strings*.
 
-Join strategy — the 100 TB concern:
+Join strategy — the 100 TB concern. A real benchmark set is small by
+construction, so the eval-gram side normally BROADCASTS and the train
+side never shuffles at all. But "eval" is a user-supplied predicate;
+nothing guarantees it selects a broadcastable set (a 1 % split of
+100 TB is 1 TB), and a hard-coded broadcast hint would OOM every
+executor. Four modes:
 
-* A real benchmark set is small by construction, so the eval-gram side
-  normally BROADCASTS: the train side stays where it is, zero shuffle.
-* But "eval" is a user-supplied predicate; nothing guarantees it selects
-  a broadcastable set (a 1 % split of 100 TB is 1 TB). A hard-coded
-  broadcast hint would OOM every executor.  ``join_mode="auto"``
-  therefore sizes the eval side first with a cheap UPPER BOUND — one
-  aggregate over the eval split only (``sum(token_count - n + 1)``, a
-  column-pruned scan of the small side; gram count can never exceed it)
-  — and falls back to a plain shuffled equi-join on the 8-byte gram hash
-  when the bound exceeds ``broadcast_max_grams``.  The fallback plan is
-  the classic inverted-index shape: both sides hash-partition on the
-  gram hash, so skew is bounded by gram frequency, not document size.
+* ``auto`` (default) — no hint: Catalyst's static size estimate picks
+  the strategy and AQE re-validates against the ACTUAL built size at
+  runtime. Zero extra passes; this is the idiomatic Spark answer, and
+  at 100 TB the statistics make the oversized-broadcast guess
+  impossible.
+* ``estimate`` — pre-sizes the eval side with an explicit UPPER BOUND
+  (one aggregate computing ``sum(token_count - n + 1)``; the distinct
+  gram count can never exceed it) and picks broadcast vs shuffle
+  against ``broadcast_max_grams``. A hard guarantee independent of
+  Catalyst statistics — at the cost of one eager pass over the corpus'
+  (id, text) columns to evaluate the eval predicate (the predicate is
+  arbitrary, so it cannot be pruned to the eval rows without a
+  pre-materialized split).
+* ``broadcast`` — force the hint (caller knows the eval side is small).
+* ``shuffle`` — force the scalable plan: a shuffled HASH join on the
+  8-byte gram hash with the eval side as build (pinned via the
+  ``shuffle_hash`` hint so small-scale statistics can't flip it back
+  to broadcast). The inverted-index shape: both sides hash-partition
+  on the gram hash, skew bounded by gram frequency, no sort.
 
-Modes: ``auto`` (size-estimated, default), ``broadcast`` (force hint),
-``shuffle`` (force the scalable plan; what auto picks at 100 TB).
-Both paths produce identical results (same oracle SQL).
+Every mode produces identical results (same oracle SQL).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,13 +63,12 @@ def ngram_hash_grams(text: Column, n: int = 13) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def _eval_gram_upper_bound(docs: DataFrame, text_col: str, n: int) -> int:
+def _eval_gram_upper_bound(eval_docs: DataFrame, text_col: str, n: int) -> int:
     """Driver-side upper bound on the eval split's distinct-gram count:
-    one aggregate over the (already filtered) eval side — a doc with t
-    tokens has at most t - n + 1 grams. Column-pruned scan of the small
-    side only; never touches the train corpus."""
+    a doc with t tokens has at most t - n + 1 grams, so one aggregate
+    over the filtered eval side bounds the build size of the probe."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    row = docs.select(
+    row = eval_docs.select(
         F.coalesce(
             F.sum(F.greatest(F.size(tokens) - (n - 1), F.lit(0))), F.lit(0)
         ).alias("g")
@@ -80,10 +89,13 @@ def decontaminate_ngram_overlap(
     EVAL split's gram set, and a contaminated flag.
 
     ``eval_pred`` selects the eval split (default ``id_col % 20 == 0``,
-    portable to the SQL oracle). ``join_mode``: see module docstring.
+    portable to the SQL oracle). ``join_mode``: see module docstring;
+    ``broadcast_max_grams`` only applies to ``estimate``.
     """
-    if join_mode not in ("auto", "broadcast", "shuffle"):
-        raise ValueError(f"join_mode must be auto|broadcast|shuffle, got {join_mode!r}")
+    if join_mode not in ("auto", "estimate", "broadcast", "shuffle"):
+        raise ValueError(
+            f"join_mode must be auto|estimate|broadcast|shuffle, got {join_mode!r}"
+        )
     if eval_pred is None:
         eval_pred = F.col(id_col) % 20 == 0
 
@@ -97,18 +109,14 @@ def decontaminate_ngram_overlap(
     )
 
     mode = join_mode
-    if mode == "auto":
+    if mode == "estimate":
         bound = _eval_gram_upper_bound(eval_docs, text_col, n)
         mode = "broadcast" if bound <= broadcast_max_grams else "shuffle"
 
     probe = eval_g.withColumn("__hit", F.lit(1))
     if mode == "broadcast":
         probe = F.broadcast(probe)
-    else:
-        # pin the shuffled-hash plan (build side = eval grams, no sort):
-        # without the hint Catalyst's size estimate would re-pick
-        # broadcast at small scale, which is exactly the guess this mode
-        # exists to overrule when the bound says the side is too big
+    elif mode == "shuffle":
         probe = probe.hint("shuffle_hash")
     hits = train_g.join(probe, "g", "left")
 

@@ -990,10 +990,11 @@ def q_decontaminate_ngram_overlap(spark, sf_dir):
     small by construction — so it BROADCASTS (eval grams are hashed to 8
     bytes with xxhash64 before shipping); the train side never shuffles
     on the gram string. Docs shorter than 13 tokens report 0 grams.
-    Delegates to the operator in ``join_mode="auto"``: the eval side is
-    sized with a cheap upper bound first, so an oversized eval split
-    falls back to the shuffled inverted-index plan instead of OOMing the
-    executors on a forced broadcast."""
+    Delegates to the operator in ``join_mode="auto"`` (no hint): Catalyst
+    sizes the eval side statically and AQE re-validates at runtime, so a
+    benchmark-sized split broadcasts while an oversized one falls back to
+    the shuffled inverted-index plan instead of OOMing on a forced
+    broadcast — with zero extra passes."""
     from tap_rest_api_msdk_spark.operators.decontaminate import (
         decontaminate_ngram_overlap,
     )
@@ -1019,23 +1020,26 @@ def q_decontaminate_ngram_shuffle(spark, sf_dir):
                                        join_mode="shuffle")
 
 
-def q_quality_linear_score(spark, sf_dir):
-    """Model-based quality filtering (fasttext-classifier shape with an
-    honest fixed-weight linear stand-in — no model weights ship in this
-    container): per doc, a linear score over type-token ratio, stopword
-    ratio, mean token length, and log-free token count, floor-quantized
-    at 1e-4. Every feature is a ratio of exact integers and the linear
-    combination is written in the same association order in both engines,
-    so the doubles match bit-for-bit (no transcendental anywhere)."""
-    docs = _t(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "to", "in", "is", "it")
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _quality_scores(docs, extra_cols=()):
+    """Shared fixed-weight linear quality scorer (single source of truth
+    for the weights / stopword list / 1e-4 floor quantization used by
+    q_quality_linear_score, q_quality_percentile_filter, and — via the
+    former — q_dedup_survivors_quality). Every feature is a ratio of
+    exact integers and the linear combination is written in the same
+    association order as the oracle SQL, so the doubles match
+    bit-for-bit (no transcendental anywhere)."""
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    tok = docs.select("doc_id", F.explode(tokens).alias("tk"))
-    agg = tok.groupBy("doc_id").agg(
+    tok = docs.select("doc_id", *extra_cols, F.explode(tokens).alias("tk"))
+    agg = tok.groupBy("doc_id", *extra_cols).agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.count_distinct("tk").alias("n_distinct"),
         F.sum(F.length("tk")).alias("sum_len"),
-        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0)).alias("n_stop"),
+        F.sum(
+            F.when(F.col("tk").isin(*_QUALITY_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop"),
     )
     ttr = F.col("n_distinct") / F.col("n_tok")
     stop_ratio = F.col("n_stop") / F.col("n_tok")
@@ -1045,9 +1049,22 @@ def q_quality_linear_score(spark, sf_dir):
     ) * 0.002
     return agg.select(
         "doc_id",
+        *extra_cols,
         "n_tok",
         (F.floor(score * 1e4) / 1e4).alias("quality_score"),
         (score > 0.75).alias("keep"),
+    )
+
+
+def q_quality_linear_score(spark, sf_dir):
+    """Model-based quality filtering (fasttext-classifier shape with an
+    honest fixed-weight linear stand-in — no model weights ship in this
+    container): per doc, a linear score over type-token ratio, stopword
+    ratio, mean token length, and log-free token count, floor-quantized
+    at 1e-4 (see ``_quality_scores`` for the determinism argument)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _quality_scores(docs).select(
+        "doc_id", "n_tok", "quality_score", "keep"
     )
 
 
@@ -1158,23 +1175,8 @@ def q_quality_percentile_filter(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "to", "in", "is", "it")
-    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    tok = docs.select("doc_id", "source", F.explode(tokens).alias("tk"))
-    agg = tok.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.count_distinct("tk").alias("n_distinct"),
-        F.sum(F.length("tk")).alias("sum_len"),
-        F.sum(F.when(F.col("tk").isin(*stop), 1).otherwise(0)).alias("n_stop"),
-    )
-    ttr = F.col("n_distinct") / F.col("n_tok")
-    stop_ratio = F.col("n_stop") / F.col("n_tok")
-    mean_len = F.col("sum_len") / F.col("n_tok")
-    score = ((ttr * 0.5 - stop_ratio * 0.8) + mean_len * 0.1) + F.col(
-        "n_tok"
-    ) * 0.002
-    qsc = agg.select(
-        "doc_id", "source", (F.floor(score * 1e4) / 1e4).alias("quality_score")
+    qsc = _quality_scores(docs, ("source",)).select(
+        "doc_id", "source", "quality_score"
     )
     hist = qsc.groupBy("source", "quality_score").agg(
         F.count(F.lit(1)).alias("c")

@@ -26,17 +26,17 @@ endpoints — re-produces the same rows; an idempotent sink keyed on
 batch_id converges. The ledger and the Spark offset checkpoint live
 under one directory, so they can only be wiped together.
 
-Window semantics: ``to_v`` is the latest DATA commit delivered in the
-micro-batch (max ``__commit_version``; maintenance commits — folds,
-compactions — never change live state, so a window that ends between a
-data commit and a later fold diffs identically). Empty micro-batches
-(offset ranges containing only maintenance commits) are skipped without
-advancing the ledger — windows stay contiguous and gap-free over data
-commits.
+Window semantics: ``to_v`` is the latest DATA commit past the pinned
+baseline at fire time (maintenance commits — folds, compactions — never
+change live state, so a window that ends between a data commit and a
+later fold diffs identically). Micro-batches whose window contains only
+maintenance commits are skipped without advancing the ledger — windows
+stay contiguous and gap-free over data commits.
 
 Scale shape: the driver touches only manifests and the O(1) ledger; the
-per-window work is the delta-walk read (touched granules' files) plus
-one max() over the window's added files. Nothing here is O(table) or
+per-window work is the delta-walk read (touched granules' files);
+the window end is resolved from manifest metadata, so the raw stream's
+file partitions are never even read. Nothing here is O(table) or
 O(history).
 
 The reference tap has no changelog read surface (it emits records
@@ -50,7 +50,6 @@ import json
 import os
 from typing import Callable, Optional
 
-from pyspark.sql import functions as F
 
 
 class _WindowLedger:
@@ -99,7 +98,10 @@ def stream_net_changes(
     from tap_rest_api_msdk_spark.streaming.changes_source import (
         LakeTableChangesDataSource,
     )
-    from tap_rest_api_msdk_spark.streaming.laketable import head_version
+    from tap_rest_api_msdk_spark.streaming.laketable import (
+        head_version,
+        walk_added_files,
+    )
 
     spark = table.spark
     spark.dataSource.register(LakeTableChangesDataSource)
@@ -112,8 +114,18 @@ def stream_net_changes(
     # resume the ledger (like the Spark checkpoint) wins, so a drain that
     # saw no data commits still pins the original baseline — otherwise a
     # later call with the default start would re-resolve it at the NEW
-    # head and silently skip the interim window
+    # head and silently skip the interim window. Seeding is gated on the
+    # Spark checkpoint ALSO being absent: a lost ledger next to a
+    # surviving offset checkpoint must fail loudly, not silently rebase
+    # the diff baseline onto the current head.
+    spark_ckpt = os.path.join(checkpoint_dir, "spark")
     if ledger.read() is None:
+        if os.path.exists(spark_ckpt):
+            raise ValueError(
+                f"net-changes window ledger missing under {checkpoint_dir!r} "
+                "while the Spark offset checkpoint survives — wipe the "
+                "checkpoint directory atomically, not piecemeal"
+            )
         ledger.write(-1, starting_version, starting_version)
 
     def fb(batch_df, batch_id: int):
@@ -134,11 +146,25 @@ def stream_net_changes(
                     "checkpoint was reset without its window ledger — wipe "
                     f"{checkpoint_dir!r} atomically, not piecemeal"
                 )
-            row = batch_df.agg(F.max("__commit_version").alias("v")).first()
-            if row["v"] is None:
-                return  # maintenance-only window: live state unchanged
+            # window end = latest DATA commit past the pinned baseline,
+            # resolved DRIVER-SIDE from manifest metadata (O(commits in
+            # window), zero data I/O) — aggregating the delivered rows
+            # instead would re-read every added file just for a max().
+            # batch_df is never acted on, so those reads never happen;
+            # the stream is the checkpointed trigger, the manifests are
+            # the truth. May run ahead of Spark's offset window if a
+            # commit raced in — harmless: windows stay contiguous from
+            # the pinned end, and the overtaken batch skips below.
             start = pinned["end"]  # ledger is always seeded at setup
-            end = int(row["v"])
+            head = head_version(table.path)
+            added = (
+                walk_added_files(table.path, start, head)
+                if head is not None and head > start
+                else []
+            )
+            if not added:
+                return  # maintenance-only window: live state unchanged
+            end = max(v for _, v in added)
             ledger.write(batch_id, start, end)  # pin BEFORE the sink runs
         diff = table.cdc_diff(start, end)
         apply_fn(diff, batch_id, (start, end))

@@ -96,18 +96,36 @@ def test_net_changes_crash_replay_pins_window(spark, tmp_path):
     t.merge_upsert(_rows(spark, [1, 2, 3], 1, "b1"), keys=["id"],
                    order_by=["seq"], batch_id=1, op_col="op", mode="mor")
     # sink crashes mid-batch; the stream fails, window stays pinned
+    import pytest
+
     rep.fail_next = True
-    try:
+    with pytest.raises(Exception, match="injected sink crash"):
         stream_net_changes(t, rep.apply, ckpt)
-        raise AssertionError("expected the injected sink crash to surface")
-    except Exception:
-        pass
     # restart with the same checkpoint: the SAME window is re-presented
     before = [w for _, w in rep.windows]
     stream_net_changes(t, rep.apply, ckpt)
     after = [w for _, w in rep.windows]
     assert len(after) == len(before) + 1
     rep.assert_matches(t)
+
+
+def test_net_changes_lost_ledger_fails_loudly(spark, tmp_path):
+    """Deleting the window ledger while the Spark offset checkpoint
+    survives must raise — silently re-seeding at the current head would
+    skip every change since the last drain (or reverse the diff)."""
+    import os
+
+    import pytest
+
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(5), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op")
+    rep = _Replica()
+    stream_net_changes(t, rep.apply, ckpt, starting_version=-1)
+    os.remove(os.path.join(ckpt, "net_window.json"))
+    with pytest.raises(ValueError, match="piecemeal"):
+        stream_net_changes(t, rep.apply, ckpt)
 
 
 def test_net_changes_default_start_survives_empty_first_drain(spark, tmp_path):

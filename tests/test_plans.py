@@ -238,19 +238,20 @@ def test_round4_new_queries_shaped(spark):
 
 
 def test_decontaminate_join_strategy_switch(spark):
-    """The decontamination operator's join strategy is size-aware: auto
-    broadcasts a benchmark-sized eval split, but an eval side past the
-    broadcast budget (forced here with a tiny budget) must fall back to a
-    shuffled join on the 8-byte gram hash — a forced broadcast of an
-    oversized eval split would OOM every executor at 100 TB."""
+    """The decontamination operator's join strategy is size-aware: an
+    eval side past the explicit broadcast budget (estimate mode, forced
+    tiny here) must fall back to a shuffled join on the 8-byte gram hash
+    — a forced broadcast of an oversized eval split would OOM every
+    executor at 100 TB."""
     from tap_rest_api_msdk_spark.operators.decontaminate import (
         decontaminate_ngram_overlap,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    # auto with a 1-gram budget -> must pick the shuffled plan
+    # estimate mode with a 1-gram budget -> must pick the shuffled plan
     plan = plan_of(
-        decontaminate_ngram_overlap(docs, join_mode="auto", broadcast_max_grams=1)
+        decontaminate_ngram_overlap(docs, join_mode="estimate",
+                                    broadcast_max_grams=1)
     )
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
@@ -259,7 +260,7 @@ def test_decontaminate_join_strategy_switch(spark):
     plan = plan_of(QUERIES["decontaminate_ngram_shuffle"](spark, SF_DIR))
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    # and auto with the default budget still broadcasts at test scale
+    # and auto (unhinted) broadcasts at test scale via Catalyst's estimate
     plan = plan_of(QUERIES["decontaminate_ngram_overlap"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
 
