@@ -253,6 +253,7 @@ def main() -> None:
             # cow_incremental_size = same sink, LSM size-tiered fold
             # scheduling (fold when pending delta bytes reach 25% of the
             # granule base) instead of the delta-chain-length trigger
+            mor_table, v_boot = None, None
             for mode in ("cow", "cow_incremental", "cow_incremental_size", "mor"):
                 tpath = os.path.join(base, f"steady_{mode}")
                 table = LakeTable(s, tpath, num_buckets=64)
@@ -261,6 +262,9 @@ def main() -> None:
                     num_buckets=64, sink_mode="cow",
                 )
                 process_batch(table, conf, swal.filter(F.col("seq") <= n_boot), 0)
+                if mode == "mor":
+                    mor_table = table
+                    v_boot = table.current_manifest()["version"]
                 if mode == "cow_incremental_size":
                     conf.sink_mode = "cow_incremental"
                     conf.fold_trigger = "size"
@@ -277,6 +281,28 @@ def main() -> None:
             steady["batches"] = n_tail // batch_sz
             steady["incremental_vs_cow"] = round(
                 steady["events_per_sec_cow_incremental"] / steady["events_per_sec_cow"], 2
+            )
+            # CDC-consumer path: the streaming net-changes surface drains
+            # the steady-state MOR history (delta-walk cdc_diff per
+            # window) — events/sec = tail events whose NET effect the
+            # consumer materialized, rows = net change rows delivered
+            from tap_rest_api_msdk_spark.streaming.net_changes import (
+                stream_net_changes,
+            )
+
+            nrows = {"n": 0}
+
+            def _count_sink(df, _bid, _win):
+                nrows["n"] += df.count()
+
+            t0 = time.time()
+            stream_net_changes(
+                mor_table, _count_sink, os.path.join(base, "nc_ckpt"),
+                starting_version=v_boot,
+            )
+            steady["net_changes_rows"] = nrows["n"]
+            steady["net_changes_consumer_events_per_sec"] = round(
+                n_tail / (time.time() - t0)
             )
             s.stop()
             result["steady_state_cdc"] = steady
