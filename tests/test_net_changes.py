@@ -216,3 +216,51 @@ def test_net_changes_reconstructs_pipeline_table_under_chaos(spark, tmp_path):
     # windows were contiguous and monotonic
     for (_, e0), (s1, _) in zip(windows, windows[1:]):
         assert s1 == e0
+
+
+def test_net_changes_across_additive_schema_evolution(spark, tmp_path):
+    """A column added mid-stream: diffs spanning the evolution align both
+    endpoints to the CURRENT schema (old rows' new attr = typed null),
+    and the replica still converges to the live table exactly."""
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(8), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op")
+    replica = {}
+    windows = []
+
+    def apply(diff, batch_id, window):
+        windows.append(window)
+        for r in diff.collect():
+            if r["change"] == "delete":
+                replica.pop(r["id"], None)
+            else:
+                replica[r["id"]] = r["after"].asDict()
+
+    stream_net_changes(t, apply, ckpt, starting_version=-1)
+    assert all(set(v) == {"seq", "text", "op"} for v in replica.values())
+
+    wide = spark.createDataFrame(
+        [(3, 1, "w-3", None, "en"), (9, 1, "w-9", None, "en")],
+        "id long, seq long, text string, op string, lang string",
+    )
+    t.merge_upsert(wide, keys=["id"], order_by=["seq"], batch_id=1,
+                   op_col="op", mode="mor")
+    stream_net_changes(t, apply, ckpt)
+    # post-evolution diff carries the new column; untouched old rows were
+    # not re-delivered (their lang stays absent in the replica until a
+    # full re-sync — additive evolution is not a change to live rows)
+    assert replica[3]["lang"] == "en" and replica[9]["lang"] == "en"
+    assert "lang" not in replica[0]
+    # a full re-stream from scratch converges to the live table, nulls and all
+    rep2 = {}
+
+    def apply2(diff, batch_id, window):
+        for r in diff.collect():
+            rep2[r["id"]] = r["after"].asDict()
+
+    stream_net_changes(t, apply2, str(tmp_path / "ckpt2"), starting_version=-1)
+    live = t.to_df()
+    attr = [c for c in live.columns if c != "id"]
+    want = {r["id"]: {c: r[c] for c in attr} for r in live.collect()}
+    assert rep2 == want and rep2[0]["lang"] is None
