@@ -43,7 +43,14 @@ def parse_args(argv):
     p.add_argument("--op-col", default="op")
     p.add_argument("--payload-col", default="payload")
     p.add_argument("--num-buckets", type=int, default=64)
-    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--mode", choices=["batch", "stream", "net-changes"],
+                   default="batch")
+    p.add_argument("--from-version", type=int, default=None,
+                   help="net-changes mode: baseline version (-1 = all "
+                        "history; default = table head at first run)")
+    p.add_argument("--sink-dir", default=None,
+                   help="net-changes mode: parquet output root (one "
+                        "window_<from>_<to>/ dir per micro-batch window)")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--continuous", action="store_true",
@@ -81,6 +88,40 @@ def main(argv=None) -> int:
         args.wal_dir, args.table = base + "/wal", base + "/table"
         args.mode = "batch"
         print(f"demo WAL + table under {base}")
+
+    if args.mode == "net-changes":
+        # CDC *consumer*: drain the table's row-level changelog (the
+        # delta-walk diff per checkpointed window) to parquet — the lake
+        # table as a CDC source, same spark-submit surface as the sink
+        if not args.table or not args.sink_dir:
+            print("--table and --sink-dir are required for net-changes",
+                  file=sys.stderr)
+            return 2
+        from pyspark.sql import functions as F
+
+        from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+        from tap_rest_api_msdk_spark.streaming.net_changes import (
+            stream_net_changes,
+        )
+
+        table = LakeTable(spark, args.table, num_buckets=args.num_buckets)
+        ckpt = args.checkpoint_dir or os.path.join(args.sink_dir, "_checkpoint")
+        applied = []
+
+        def sink(df, batch_id, window):
+            # overwrite per-window dir = idempotent under crash replay
+            out = os.path.join(args.sink_dir, f"window_{window[0]}_{window[1]}")
+            df.withColumn("__window_end", F.lit(window[1])).write.mode(
+                "overwrite"
+            ).parquet(out)
+            applied.append({"batch": batch_id, "from": window[0],
+                            "to": window[1]})
+
+        stream_net_changes(table, sink, ckpt,
+                           starting_version=args.from_version)
+        print(json.dumps({"table": args.table, "sink": args.sink_dir,
+                          "windows": applied}))
+        return 0
 
     if not args.wal_dir or not args.table:
         print("--wal-dir and --table are required (or --demo)", file=sys.stderr)
