@@ -83,19 +83,26 @@ def decontaminate_ngram_overlap(
     n: int = 13,
     eval_pred: Optional[Column] = None,
     join_mode: str = "auto",
-    broadcast_max_grams: int = 2_000_000,
+    broadcast_max_grams: Optional[int] = None,
 ) -> DataFrame:
     """Per TRAIN doc: distinct n-gram count, how many collide with the
     EVAL split's gram set, and a contaminated flag.
 
     ``eval_pred`` selects the eval split (default ``id_col % 20 == 0``,
-    portable to the SQL oracle). ``join_mode``: see module docstring;
-    ``broadcast_max_grams`` only applies to ``estimate``.
+    portable to the SQL oracle). ``join_mode``: see module docstring.
+    Passing an explicit ``broadcast_max_grams`` is a request for the HARD
+    size guarantee, so it upgrades ``auto`` to ``estimate`` (a silently
+    ignored budget would let a misestimated eval side broadcast past the
+    caller's cap); ``estimate`` without a budget defaults to 2M grams.
     """
     if join_mode not in ("auto", "estimate", "broadcast", "shuffle"):
         raise ValueError(
             f"join_mode must be auto|estimate|broadcast|shuffle, got {join_mode!r}"
         )
+    if join_mode == "auto" and broadcast_max_grams is not None:
+        join_mode = "estimate"
+    if broadcast_max_grams is None:
+        broadcast_max_grams = 2_000_000
     if eval_pred is None:
         eval_pred = F.col(id_col) % 20 == 0
 

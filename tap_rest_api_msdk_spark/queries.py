@@ -1006,11 +1006,12 @@ def q_decontaminate_ngram_overlap(spark, sf_dir):
 
 def q_decontaminate_ngram_shuffle(spark, sf_dir):
     """The decontamination operator's SCALE path, pinned: same 13-gram
-    collision semantics, but the eval-gram probe is joined with a plain
-    shuffled equi-join on the 8-byte gram hash (what ``auto`` picks when
-    the eval-side size bound exceeds the broadcast budget — e.g. a 1 %
-    split of 100 TB). Same oracle as the broadcast path: the strategy
-    must never change the answer."""
+    collision semantics, but the eval-gram probe is joined with a
+    shuffled hash join on the 8-byte gram hash — what ``estimate`` picks
+    when the explicit gram-count bound exceeds the broadcast budget, and
+    what ``auto``'s Catalyst/AQE sizing converges to for an oversized
+    eval split (e.g. a 1 % split of 100 TB). Same oracle as the
+    broadcast path: the strategy must never change the answer."""
     from tap_rest_api_msdk_spark.operators.decontaminate import (
         decontaminate_ngram_overlap,
     )

@@ -68,12 +68,19 @@ class _WindowLedger:
         except FileNotFoundError:
             return None
 
-    def write(self, batch_id: int, start: int, end: int) -> None:
+    def write(self, batch_id: int, start: int, end: int,
+              scanned_to: Optional[int] = None) -> None:
+        """``scanned_to``: versions up to here are VERIFIED to contain no
+        data commit past ``end`` — a monotonic cache that keeps repeated
+        maintenance-only drains from re-walking the same manifests."""
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         tmp = f"{self.path}.tmp.{os.getpid()}"
+        rec = {"batch_id": int(batch_id), "start": int(start),
+               "end": int(end)}
+        if scanned_to is not None:
+            rec["scanned_to"] = int(scanned_to)
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": int(batch_id), "start": int(start),
-                       "end": int(end)}, fh)
+            json.dump(rec, fh)
         os.replace(tmp, self.path)
 
 
@@ -156,13 +163,24 @@ def stream_net_changes(
             # commit raced in — harmless: windows stay contiguous from
             # the pinned end, and the overtaken batch skips below.
             start = pinned["end"]  # ledger is always seeded at setup
+            # resume the walk at the verified maintenance-only high-water
+            # mark, not the diff baseline: a quiet table accumulating
+            # folds/compactions would otherwise re-walk the same
+            # ever-growing manifest range on every drain
+            scan_from = max(start, pinned.get("scanned_to", start))
             head = head_version(table.path)
             added = (
-                walk_added_files(table.path, start, head)
-                if head is not None and head > start
+                walk_added_files(table.path, scan_from, head)
+                if head is not None and head > scan_from
                 else []
             )
             if not added:
+                if head is not None and head > scan_from:
+                    # cache the verified-empty range; the PINNED window is
+                    # preserved verbatim so a replay of that batch still
+                    # re-presents its exact (start, end]
+                    ledger.write(pinned["batch_id"], pinned["start"],
+                                 pinned["end"], scanned_to=head)
                 return  # maintenance-only window: live state unchanged
             end = max(v for _, v in added)
             ledger.write(batch_id, start, end)  # pin BEFORE the sink runs

@@ -264,3 +264,37 @@ def test_net_changes_across_additive_schema_evolution(spark, tmp_path):
     attr = [c for c in live.columns if c != "id"]
     want = {r["id"]: {c: r[c] for c in attr} for r in live.collect()}
     assert rep2 == want and rep2[0]["lang"] is None
+
+
+def test_net_changes_maintenance_only_drains_cache_scan_highwater(spark, tmp_path):
+    """A quiet table accumulating maintenance commits must not re-walk
+    the same manifest range every drain: the ledger records a verified
+    scanned_to high-water mark (pinned window preserved verbatim), and a
+    later data commit still diffs from the original baseline."""
+    import json
+    import os
+
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(10), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op", mode="mor")
+    rep = _Replica()
+    stream_net_changes(t, rep.apply, ckpt, starting_version=-1)
+    pinned = json.load(open(os.path.join(ckpt, "net_window.json")))
+    # several maintenance-only commits, drained one by one
+    for _ in range(3):
+        t.compact()
+        stream_net_changes(t, rep.apply, ckpt)
+    rec = json.load(open(os.path.join(ckpt, "net_window.json")))
+    head = t.current_manifest()["version"]
+    assert rec["scanned_to"] == head          # verified-empty range cached
+    assert rec["start"] == pinned["start"]    # pinned window untouched
+    assert rec["end"] == pinned["end"]
+    assert rec["batch_id"] == pinned["batch_id"]
+    # a data commit after the quiet stretch: window still opens at the
+    # pinned end (not at scanned_to), so nothing is skipped
+    t.merge_upsert(_rows(spark, [3], 1, "b1"), keys=["id"],
+                   order_by=["seq"], batch_id=1, op_col="op", mode="mor")
+    stream_net_changes(t, rep.apply, ckpt)
+    assert rep.windows[-1][1][0] == pinned["end"]
+    rep.assert_matches(t)
