@@ -87,6 +87,15 @@ BENCH_QUERIES = [
     "join_enrich_broadcast",
     "customer_distribution",
     "promo_revenue",
+    # round-4 second-session additions (outside SHARED_SET so the
+    # cross-round subtotal stays comparable)
+    "decontaminate_ngram_overlap",
+    "decontaminate_ngram_shuffle",
+    "quality_linear_score",
+    "quality_percentile_filter",
+    "sample_temperature",
+    "dedup_survivors_quality",
+    "pii_scrub",
 ]
 
 
