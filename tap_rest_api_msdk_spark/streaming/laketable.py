@@ -219,15 +219,41 @@ def section_of(table_path: str, core: Optional[dict], b_str: str) -> dict:
     }
 
 
-def load_manifest_at(table_path: str, version: int) -> Optional[dict]:
-    """Assembled snapshot manifest at ``version`` (module-level so metadata
-    consumers — e.g. the streaming changes source — need no SparkSession)."""
+def load_core_at(table_path: str, version: int) -> Optional[dict]:
+    """The version file at ``version`` WITHOUT section assembly: core
+    properties (schema, keys, ledgers, version) plus ``sections_ref`` —
+    enough for consumers that go on to resolve only the sections they
+    need (``section_of``, ``assemble_manifest_buckets``)."""
     p = os.path.join(table_path, "manifests", f"v{version:010d}.json")
     try:
         with open(p) as fh:
-            return assemble_manifest(table_path, json.load(fh))
+            return json.load(fh)
     except FileNotFoundError:
         return None
+
+
+def load_manifest_at(table_path: str, version: int) -> Optional[dict]:
+    """Assembled snapshot manifest at ``version`` (module-level so metadata
+    consumers — e.g. the streaming changes source — need no SparkSession)."""
+    return assemble_manifest(table_path, load_core_at(table_path, version))
+
+
+def assemble_manifest_buckets(
+    table_path: str, core: Optional[dict], buckets
+) -> Optional[dict]:
+    """Assemble ONLY the given buckets' sections of a split manifest —
+    the partial-read completion of the split-manifest design: consumers
+    that can prove the other buckets irrelevant (e.g. cdc_diff's
+    section-ref prefilter) pay O(relevant sections) metadata instead of
+    O(live files). Pre-split manifests pass through fully assembled."""
+    if not core or "sections_ref" not in core:
+        return assemble_manifest(table_path, core)
+    wanted = set(str(b) for b in buckets)
+    pruned = dict(core)
+    pruned["sections_ref"] = {
+        b: rel for b, rel in core["sections_ref"].items() if b in wanted
+    }
+    return assemble_manifest(table_path, pruned)
 
 
 def head_version(table_path: str) -> Optional[int]:
@@ -286,6 +312,41 @@ def all_files_of(m: Optional[dict]) -> set:
     return out
 
 
+def _section_files(table_path: str, rel: str) -> set:
+    sec = _load_section(os.path.join(table_path, "manifests", rel))
+    return set(sec.get("files", [])) | set(sec.get("deltas", []))
+
+
+def _step_added_files(
+    table_path: str, prev_m: Optional[dict], cur_m: dict
+) -> set:
+    """Files present in ``cur_m`` but not ``prev_m``. When BOTH manifests
+    are split, only sections whose content-addressed ref CHANGED are
+    loaded — an unchanged ref proves the bucket's file set identical.
+    Valid because a data file's bucket claims are fixed when it is
+    written (a section never adopts a pre-existing file from another
+    bucket), so the union of per-changed-section diffs equals the global
+    set difference. Pre-split / assembled manifests fall back to the
+    full-set diff."""
+    pr = (prev_m or {}).get("sections_ref")
+    cr = cur_m.get("sections_ref")
+    if prev_m is not None and pr is not None and cr is not None:
+        out: set = set()
+        for b, rel in cr.items():
+            prev_rel = pr.get(b)
+            if prev_rel == rel:
+                continue
+            cur_files = _section_files(table_path, rel)
+            prev_files = (
+                _section_files(table_path, prev_rel) if prev_rel else set()
+            )
+            out |= cur_files - prev_files
+        return out
+    return all_files_of(assemble_manifest(table_path, cur_m)) - all_files_of(
+        assemble_manifest(table_path, prev_m)
+    )
+
+
 def walk_added_files(
     table_path: str, start_v: int, end_v: int, end_manifest: Optional[dict] = None
 ) -> list:
@@ -296,31 +357,36 @@ def walk_added_files(
     per-writer ledger) are skipped. Raises when the window's anchor or an
     interior manifest has been expired (diffing against an empty snapshot
     would misreport the whole table as changes) or when a change file was
-    vacuumed."""
-    prev = load_manifest_at(table_path, start_v) if start_v >= 0 else None
+    vacuumed.
+
+    Split-manifest histories walk CORE version files only and load just
+    the sections whose content-addressed refs changed per step
+    (``_step_added_files``) — per-version cost is O(changed buckets),
+    never O(live files)."""
+    prev = load_core_at(table_path, start_v) if start_v >= 0 else None
     if start_v >= 0 and prev is None:
         raise ValueError(
             f"manifest v{start_v} expired: the incremental window's anchor "
             "exceeds retained metadata; raise expire_manifests("
             "retain_last=...) to cover readers"
         )
-    prev_files, prev_ledger = all_files_of(prev), ledger_of(prev)
+    prev_ledger = ledger_of(prev)
     added: list = []
     for v in range(start_v + 1, end_v + 1):
         if end_manifest is not None and v == end_v:
             cur = end_manifest
         else:
-            cur = load_manifest_at(table_path, v)
+            cur = load_core_at(table_path, v)
         if cur is None:
             raise ValueError(
                 f"manifest v{v} missing inside the incremental window "
                 f"({start_v}, {end_v}]; metadata expired past a reader"
             )
-        cur_files, cur_ledger = all_files_of(cur), ledger_of(cur)
+        cur_ledger = ledger_of(cur)
         if cur_ledger != prev_ledger:  # data commit
-            for f in sorted(cur_files - prev_files):
+            for f in sorted(_step_added_files(table_path, prev, cur)):
                 added.append((f, v))
-        prev_files, prev_ledger = cur_files, cur_ledger
+        prev, prev_ledger = cur, cur_ledger
     missing = sorted(f for f, _v in added if not os.path.exists(f))
     if missing:
         raise ValueError(
@@ -1747,7 +1813,12 @@ class LakeTable:
         (bucket, slice) granules' files are scanned and LWW-resolved —
         cost is bounded by changed data, not table size. Granules with
         identical file sets on both sides cannot differ (files are
-        immutable). The plan of the last call is kept on
+        immutable). On split manifests the content-addressed section
+        refs prove unchanged BUCKETS identical before any section is
+        read, so even the metadata load is O(changed buckets)
+        (``sections_loaded``/``sections_total`` in the plan;
+        ``total_files`` then counts only the loaded buckets' files).
+        The plan of the last call is kept on
         ``self.last_cdc_diff_plan`` for scan accounting.
 
         Exact under any mix of cow / mor / cow_incremental commits in
@@ -1756,14 +1827,43 @@ class LakeTable:
         an ``insert``). One full-outer join keyed on the merge keys over
         the touched granules only; unchanged keys drop before anything
         is collected."""
-        m = self.current_manifest() if to_version is None else self.manifest_at(to_version)
+        core_to = (
+            self._current_core()
+            if to_version is None
+            else load_core_at(self.path, to_version)
+        )
+        core_from = load_core_at(self.path, from_version)
+        # section-ref prefilter: sections are CONTENT-ADDRESSED, so a
+        # bucket whose ref is identical on both endpoints has an
+        # identical file set and cannot produce a diff row — its section
+        # is never even loaded. Metadata cost drops from O(live files)
+        # to O(changed buckets' files); the full assembly survives only
+        # for pre-split manifests (and the pre-creation all-inserts
+        # path, which reads the whole table anyway).
+        if (
+            core_to is not None
+            and core_from is not None
+            and "sections_ref" in core_to
+            and "sections_ref" in core_from
+        ):
+            rf, rt = core_from["sections_ref"], core_to["sections_ref"]
+            changed_b = {b for b in set(rf) | set(rt) if rf.get(b) != rt.get(b)}
+            m = assemble_manifest_buckets(self.path, core_to, changed_b)
+            m_from = assemble_manifest_buckets(self.path, core_from, changed_b)
+            sections_accounting = {
+                "sections_loaded": len(changed_b),
+                "sections_total": len(set(rf) | set(rt)),
+            }
+        else:
+            m = assemble_manifest(self.path, core_to)
+            m_from = assemble_manifest(self.path, core_from)
+            sections_accounting = None
         if m is None:
             return None
         keys = list(m["keys"])
         op_col = m.get("op_col")
         schema = T.StructType.fromJson(m["schema"])
         attrs = [f.name for f in schema.fields if f.name not in keys]
-        m_from = self.manifest_at(from_version)
         if m_from is None and from_version >= 0:
             raise ValueError(
                 f"manifest v{from_version} expired: cdc_diff's before-"
@@ -1791,6 +1891,8 @@ class LakeTable:
             )
 
         plan = self.cdc_diff_plan(m_from, m)
+        if sections_accounting is not None:
+            plan.update(sections_accounting)
         self.last_cdc_diff_plan = plan
         out_schema = T.StructType(
             [f for f in schema.fields if f.name in keys]

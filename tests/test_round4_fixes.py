@@ -288,7 +288,12 @@ def test_cdc_diff_scans_only_changed_granules(spark, tmp_path):
     assert diff == {7: "update", 11: "update", 13: "delete"}
     plan = t.last_cdc_diff_plan
     assert len(plan["touched"]) <= 3          # at most one bucket per key
-    assert plan["scanned_files"] < plan["total_files"], plan
+    # section-ref prefilter: only the changed buckets' sections were ever
+    # LOADED (content-addressed refs prove the rest identical), so even
+    # the metadata read is O(changed buckets), and the files enumerated
+    # (total_files) are already just the loaded buckets'
+    assert plan["sections_loaded"] <= 3 < plan["sections_total"], plan
+    assert plan["scanned_files"] <= plan["total_files"], plan
     # untouched windows are free: diff of current vs current plans nothing
     v1 = t.current_manifest()["version"]
     assert t.cdc_diff(v1).count() == 0
