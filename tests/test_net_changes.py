@@ -298,3 +298,50 @@ def test_net_changes_maintenance_only_drains_cache_scan_highwater(spark, tmp_pat
     stream_net_changes(t, rep.apply, ckpt)
     assert rep.windows[-1][1][0] == pinned["end"]
     rep.assert_matches(t)
+
+
+def test_net_changes_consumer_races_live_writer(spark, tmp_path):
+    """A writer keeps committing WHILE the consumer drains: window ends
+    resolve at fire time and may run ahead of Spark's offsets, so the
+    drains interleave arbitrarily with commits — the replica must still
+    converge exactly once the writer stops and a final drain runs."""
+    import threading
+
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(50), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op")
+    rep = _Replica()
+    stream_net_changes(t, rep.apply, ckpt, starting_version=-1)
+
+    stop = threading.Event()
+    err: list = []
+
+    def writer():
+        # a second handle, as a real concurrent writer would hold
+        tw = LakeTable(spark, path, num_buckets=4)
+        try:
+            for i in range(1, 9):
+                tw.merge_upsert(
+                    _rows(spark, [i % 7, 40 + i], i, f"w{i}"), keys=["id"],
+                    order_by=["seq"], batch_id=i, op_col="op",
+                    mode="mor" if i % 2 else "cow_incremental",
+                    writer_id="racer",
+                )
+        except Exception as e:  # surface in the main thread
+            err.append(e)
+        finally:
+            stop.set()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    while not stop.is_set():
+        stream_net_changes(t, rep.apply, ckpt)
+    th.join()
+    assert not err, err
+    stream_net_changes(t, rep.apply, ckpt)  # final drain to quiesced head
+    rep.assert_matches(t)
+    # windows stayed contiguous through every racing drain
+    wins = [w for _, w in rep.windows]
+    for (_, e0), (s1, _) in zip(wins, wins[1:]):
+        assert s1 == e0
