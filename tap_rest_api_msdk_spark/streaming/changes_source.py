@@ -49,13 +49,6 @@ class _FilePartition(InputPartition):
     commit_version: int
 
 
-def _manifest_at(table_path: str, version: int):
-    # shared with LakeTable: assembles split (sectioned) manifests too
-    from tap_rest_api_msdk_spark.streaming.laketable import load_manifest_at
-
-    return load_manifest_at(table_path, version)
-
-
 def _head_version(table_path: str):
     """O(1 + lag) HEAD resolution (pointer hint + forward probe), shared
     with LakeTable — no SparkSession needed."""
@@ -193,9 +186,14 @@ class LakeTableChangesDataSource(DataSource):
     def schema(self):
         from pyspark.sql import types as T
 
+        from tap_rest_api_msdk_spark.streaming.laketable import load_core_at
+
         m_head = _head_version(self.options.get("path", ""))
+        # CORE version file only — schema is a core field; assembling
+        # every bucket section just to read it would make each stream
+        # (re)construction O(live files) on a large table
         m = (
-            _manifest_at(self.options["path"], m_head)
+            load_core_at(self.options["path"], m_head)
             if m_head is not None
             else None
         )

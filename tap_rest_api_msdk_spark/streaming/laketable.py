@@ -768,7 +768,10 @@ class LakeTable:
         ``replication_key > bookmarks[stream]@version`` for an exact
         stream (the caller knows its stream name).
         """
-        new = self.current_manifest()
+        # CORE head only: schema/version are core fields and the walk's
+        # section-ref step-diff handles an unassembled end manifest — a
+        # full assembly here would make every batch poll O(live files)
+        new = self._current_core()
         if new is None:
             return None
         added = {
@@ -1816,8 +1819,9 @@ class LakeTable:
         immutable). On split manifests the content-addressed section
         refs prove unchanged BUCKETS identical before any section is
         read, so even the metadata load is O(changed buckets)
-        (``sections_loaded``/``sections_total`` in the plan;
-        ``total_files`` then counts only the loaded buckets' files).
+        (``buckets_loaded``/``buckets_total`` in the plan — each loaded
+        bucket reads its section on both endpoints; ``total_files`` then
+        counts only the loaded buckets' files).
         The plan of the last call is kept on
         ``self.last_cdc_diff_plan`` for scan accounting.
 
@@ -1851,8 +1855,10 @@ class LakeTable:
             m = assemble_manifest_buckets(self.path, core_to, changed_b)
             m_from = assemble_manifest_buckets(self.path, core_from, changed_b)
             sections_accounting = {
-                "sections_loaded": len(changed_b),
-                "sections_total": len(set(rf) | set(rt)),
+                # bucket-level accounting: each counted bucket loads its
+                # section on BOTH endpoints (<= 2 files per bucket)
+                "buckets_loaded": len(changed_b),
+                "buckets_total": len(set(rf) | set(rt)),
             }
         else:
             m = assemble_manifest(self.path, core_to)

@@ -292,8 +292,7 @@ def test_cdc_diff_scans_only_changed_granules(spark, tmp_path):
     # LOADED (content-addressed refs prove the rest identical), so even
     # the metadata read is O(changed buckets), and the files enumerated
     # (total_files) are already just the loaded buckets'
-    assert plan["sections_loaded"] <= 3 < plan["sections_total"], plan
-    assert plan["scanned_files"] <= plan["total_files"], plan
+    assert plan["buckets_loaded"] <= 3 < plan["buckets_total"], plan
     # untouched windows are free: diff of current vs current plans nothing
     v1 = t.current_manifest()["version"]
     assert t.cdc_diff(v1).count() == 0
