@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear_score": Q.q_quality_linear_score,
         "quality_percentile_filter": Q.q_quality_percentile_filter,
         "sample_temperature": Q.q_sample_temperature,
+        "pack_sequences": Q.q_pack_sequences,
+        "events_funnel": Q.q_events_funnel,
+        "retention_cohorts": Q.q_retention_cohorts,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
         "dedup_survivors_quality": Q.q_dedup_survivors_quality,
@@ -1123,5 +1126,67 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) as bigint) as n_kept,
                bit_xor(doc_id) as xor_kept_ids
         from kept group by source
+    """
+    # GPT-style concat-and-chunk packing, per (source, shard) — integer
+    # prefix sums; div/% on non-negative ints agree across engines
+    d["pack_sequences"] = f"""
+        with base as (
+            select doc_id, source, doc_id // 500 as shard,
+                   cast(len({_WS_TOKENS}) as bigint) as n_tok
+            from documents
+        ), cum as (
+            select *,
+                   cast(sum(n_tok) over (
+                       partition by source, shard order by doc_id
+                       rows between unbounded preceding and current row
+                   ) - n_tok as bigint) as s
+            from base
+        )
+        select doc_id, source, shard, n_tok,
+               s // 2048 as seq_id,
+               s % 2048 as offset_in_seq
+        from cum
+    """
+    # ordered funnel: timestamps only compare, never surface
+    d["events_funnel"] = """
+        with s0 as (
+            select user_id, min(ts) as t_signup from events
+            where event_type = 'signup' group by user_id
+        ), c1 as (
+            select e.user_id, min(e.ts) as t_click
+            from events e join s0 on e.user_id = s0.user_id
+            where e.event_type = 'click' and e.ts > s0.t_signup
+            group by e.user_id
+        ), p2 as (
+            select e.user_id, min(e.ts) as t_purchase
+            from events e join c1 on e.user_id = c1.user_id
+            where e.event_type = 'purchase' and e.ts > c1.t_click
+            group by e.user_id
+        ), stages as (
+            select '1_signup' as stage, user_id from s0
+            union all
+            select '2_click_after_signup', user_id from c1
+            union all
+            select '3_purchase_after_click', user_id from p2
+        )
+        select stage, cast(count(*) as bigint) as n_users
+        from stages group by stage
+    """
+    # cohort retention on calendar DATEs (no tz/fraction semantics)
+    d["retention_cohorts"] = """
+        with s0 as (
+            select user_id, min(cast(ts as date)) as d_signup from events
+            where event_type = 'signup' group by user_id
+        ), act as (
+            select e.user_id,
+                   date_diff('day', s0.d_signup, cast(e.ts as date)) as day_off,
+                   date_diff('day', DATE '1970-01-01', s0.d_signup) as cohort_d
+            from events e join s0 on e.user_id = s0.user_id
+        )
+        select cohort_d // 7 as cohort_week,
+               day_off // 7 as week_offset,
+               cast(count(distinct user_id) as bigint) as n_active_users
+        from act where day_off >= 0
+        group by 1, 2
     """
     return d

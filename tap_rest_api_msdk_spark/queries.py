@@ -1239,3 +1239,116 @@ def q_sample_temperature(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.expr("bit_xor(doc_id)").alias("xor_kept_ids"),
     )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (GPT-style concat-and-chunk for training batches):
+    docs concatenate in doc_id order and chunk into 2048-token training
+    sequences; each doc reports the sequence it STARTS in and its token
+    offset within it.
+
+    Scale shape: a global token prefix-sum is a single-partition window —
+    the 100 TB anti-pattern. Real pipelines pack per shard, so the
+    running sum partitions by (source, shard = doc_id div 500): sequence
+    boundaries never cross shards, shards are bounded, and the window
+    parallelizes. Pure integer arithmetic (counts, div, mod) — exact in
+    both engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("doc_id div 500").alias("shard"),
+        F.size(tokens).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return base.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        start.alias("__start"),
+    ).select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        F.expr("__start div 2048").alias("seq_id"),
+        F.pmod(F.col("__start"), F.lit(2048)).cast("long").alias("offset_in_seq"),
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (signup -> first click after signup ->
+    first purchase after that click): per-stage user counts. Three
+    map-side-combined aggregates chained by per-user joins — the
+    timestamps only COMPARE (never surface), so cross-engine timestamp
+    representation cannot drift the result. Per-user state is one row
+    after each aggregate: joins stay key-partitioned and small."""
+    ev = _t(spark, sf_dir, "events")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c1 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c1, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        s0.select(F.lit("1_signup").alias("stage"), "user_id"),
+        c1.select(F.lit("2_click_after_signup").alias("stage"), "user_id"),
+        p2.select(F.lit("3_purchase_after_click").alias("stage"), "user_id"),
+    ]
+    return (
+        rows[0].unionByName(rows[1]).unionByName(rows[2])
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by signup week (days-since-epoch
+    div 7 of the signup DATE), activity bucketed by whole weeks since
+    signup — distinct active users per (cohort_week, week_offset).
+    Calendar-day arithmetic on DATEs only (datediff of casts), integer
+    div — no timezone or fractional-second semantics can diverge."""
+    ev = _t(spark, sf_dir, "events")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d_signup"))
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("d")).join(s0, "user_id")
+    day_off = F.datediff(F.col("d"), F.col("d_signup"))
+    cohort = F.datediff(F.col("d_signup"), F.lit("1970-01-01").cast("date"))
+    # both operands are non-negative (dates are post-epoch; day_off is
+    # filtered), so truncating vs flooring integer division agree
+    return (
+        act.filter(day_off >= 0)
+        .select(cohort.alias("__cd"), day_off.alias("__wd"), "user_id")
+        .select(
+            F.expr("__cd div 7").cast("long").alias("cohort_week"),
+            F.expr("__wd div 7").cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
+    )

@@ -288,6 +288,25 @@ def test_quality_percentile_and_temperature_plans(spark):
     assert "Window" not in plan  # no window at all: aggregates + broadcasts
 
 
+def test_pack_funnel_retention_plans(spark):
+    """Packing's prefix-sum windows by (source, shard) — never source
+    alone (a single-partition running sum is the 100 TB anti-pattern);
+    the funnel and retention queries stay Python-free with map-side
+    partial aggregation and no cross products."""
+    import re
+
+    plan = plan_of(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert re.search(r"windowspecdefinition\(source#\d+, shard#\d+", plan)
+
+    for name in ("events_funnel", "retention_cohorts"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_" in plan
+
+
 def test_pii_scrub_is_projection_only(spark):
     """Redaction is one native projection: no UDF, no shuffle, no join."""
     plan = plan_of(QUERIES["pii_scrub"](spark, SF_DIR))
