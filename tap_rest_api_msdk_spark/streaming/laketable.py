@@ -43,6 +43,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 from typing import Optional, Sequence
@@ -737,7 +738,9 @@ class LakeTable:
         For a pure copy-on-write table this is a no-op dedup (base is
         already one row per key); for merge-on-read it resolves the delta
         log against the base — the read-side half of the MOR contract.
+        ``version`` also accepts a TAG NAME (named snapshot ref).
         """
+        version = self.resolve_version(version) if version is not None else None
         df = self.read(buckets, version=version)
         m = self.manifest_at(version) if version is not None else self.current_manifest()
         if df is None or m is None:
@@ -2332,7 +2335,9 @@ class LakeTable:
         cutoff = time.time() - grace_seconds
         live: set = set()
         newest = m["version"]
-        for v in range(max(0, newest - max(1, retain_last) + 1), newest + 1):
+        keep = set(range(max(0, newest - max(1, retain_last) + 1), newest + 1))
+        keep |= set(self.tags().values())  # tagged snapshots stay readable
+        for v in sorted(keep):
             snap = self.manifest_at(v)
             if snap is None:
                 continue
@@ -2390,6 +2395,76 @@ class LakeTable:
                 continue
         return removed
 
+    # ------------------------------------------------------------------
+    # named snapshot refs (Iceberg tag analog)
+    # ------------------------------------------------------------------
+    def _tags_dir(self) -> str:
+        return os.path.join(self.path, "tags")
+
+    def tag(self, name: str, version: Optional[int] = None,
+            overwrite: bool = False) -> int:
+        """Pin a snapshot version under a NAME (Iceberg tag analog): a
+        tagged version survives ``expire_manifests`` and its data files
+        survive ``vacuum`` regardless of the rolling retention windows —
+        the mechanism for 'the dataset release we trained run X on stays
+        time-travelable'. Returns the pinned version."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        if version is None:
+            m = self._current_core()
+            if m is None:
+                raise ValueError("no committed snapshot to tag")
+            version = int(m["version"])
+        elif load_core_at(self.path, int(version)) is None:
+            raise ValueError(
+                f"cannot tag v{version}: manifest missing or expired"
+            )
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        p = os.path.join(self._tags_dir(), f"{name}.json")
+        if os.path.exists(p) and not overwrite:
+            raise ValueError(f"tag {name!r} exists (overwrite=True to move it)")
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": int(version),
+                       "created_at": time.time()}, fh)
+        os.replace(tmp, p)
+        return int(version)
+
+    def tags(self) -> dict:
+        """{tag name: pinned version} for every tag on the table."""
+        out: dict = {}
+        try:
+            names = os.listdir(self._tags_dir())
+        except FileNotFoundError:
+            return out
+        for n in sorted(names):
+            if not n.endswith(".json") or ".tmp." in n:
+                continue
+            try:
+                with open(os.path.join(self._tags_dir(), n)) as fh:
+                    out[n[:-5]] = int(json.load(fh)["version"])
+            except (json.JSONDecodeError, OSError, KeyError, ValueError):
+                continue
+        return out
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (its version rejoins the normal retention
+        windows). Returns whether the tag existed."""
+        try:
+            os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def resolve_version(self, ref):
+        """int version -> itself; str -> the tag's pinned version."""
+        if isinstance(ref, str):
+            tags = self.tags()
+            if ref not in tags:
+                raise ValueError(f"unknown tag {ref!r} (have: {sorted(tags)})")
+            return tags[ref]
+        return ref
+
     def expire_manifests(self, retain_last: int = 100, grace_seconds: float = 300.0) -> int:
         """Metadata-log compaction (Iceberg expire-snapshots analog for the
         manifest log): delete manifest files older than the last
@@ -2404,6 +2479,7 @@ class LakeTable:
         if m is None:
             return 0
         cutoff = m["version"] - max(1, retain_last) + 1
+        pinned = set(self.tags().values())  # tagged versions never expire
         mdir = os.path.join(self.path, "manifests")
         removed = 0
         for name in os.listdir(mdir):
@@ -2413,7 +2489,7 @@ class LakeTable:
                 v = int(name[1:-5])
             except ValueError:
                 continue
-            if v < cutoff:
+            if v < cutoff and v not in pinned:
                 os.remove(os.path.join(mdir, name))
                 removed += 1
         if removed:
@@ -2436,7 +2512,8 @@ class LakeTable:
         self, drop_deletes: bool = True, version: Optional[int] = None
     ) -> Optional[DataFrame]:
         """State of the table (MOR deltas resolved, tombstones filtered by
-        default; ``version`` time-travels)."""
+        default; ``version`` time-travels — an int version or a TAG name)."""
+        version = self.resolve_version(version) if version is not None else None
         df = self.read_state(version=version)
         if df is None:
             return None

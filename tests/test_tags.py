@@ -1,0 +1,67 @@
+"""Named snapshot refs (Iceberg tag analog): tagged versions survive
+expire_manifests and vacuum regardless of rolling retention; reads
+accept tag names; dropping a tag returns the version to the normal
+retention windows."""
+
+from __future__ import annotations
+
+import pytest
+
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+
+def _rows(spark, ids, seq, text):
+    return spark.createDataFrame(
+        [(int(i), int(seq), f"{text}-{i}") for i in ids],
+        "id long, seq long, text string",
+    )
+
+
+def test_tag_pins_snapshot_through_expiry_and_vacuum(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.merge_upsert(_rows(spark, range(30), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0)
+    v_rel = t.tag("release-1")
+    assert t.tags() == {"release-1": v_rel}
+    # pile on history so the rolling windows leave the tag behind
+    for i in range(1, 9):
+        t.merge_upsert(_rows(spark, [i], i, f"b{i}"), keys=["id"],
+                       order_by=["seq"], batch_id=i, mode="cow")
+    t.expire_manifests(retain_last=2, grace_seconds=0.0)
+    t.vacuum(retain_last=1)
+    # the tagged snapshot is STILL fully readable — by tag or version
+    got = {r["id"]: r["text"] for r in t.to_df(version="release-1").collect()}
+    assert got == {i: f"base-{i}" for i in range(30)}
+    assert t.to_df(version=v_rel).count() == 30
+    # the untagged interior versions expired as usual
+    assert t.manifest_at(v_rel + 1) is None
+    # current state unaffected
+    assert t.to_df().count() == 30
+
+    # dropping the tag re-joins retention: next expiry removes it
+    assert t.drop_tag("release-1") is True
+    assert t.drop_tag("release-1") is False
+    t.expire_manifests(retain_last=2, grace_seconds=0.0)
+    assert t.manifest_at(v_rel) is None
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.to_df(version="release-1")
+
+
+def test_tag_overwrite_and_validation(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    t.merge_upsert(_rows(spark, [1], 0, "a"), keys=["id"], order_by=["seq"],
+                   batch_id=0)
+    v0 = t.tag("prod")
+    t.merge_upsert(_rows(spark, [1], 1, "b"), keys=["id"], order_by=["seq"],
+                   batch_id=1)
+    with pytest.raises(ValueError, match="exists"):
+        t.tag("prod")
+    v1 = t.tag("prod", overwrite=True)
+    assert v1 > v0 and t.tags()["prod"] == v1
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("bad/name")
+    with pytest.raises(ValueError, match="missing or expired"):
+        t.tag("ghost", version=99)
+    # a second handle sees the same tags (files, not memory)
+    t2 = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    assert t2.tags() == {"prod": v1}
