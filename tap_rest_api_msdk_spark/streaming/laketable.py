@@ -2407,9 +2407,16 @@ class LakeTable:
         tagged version survives ``expire_manifests`` and its data files
         survive ``vacuum`` regardless of the rolling retention windows —
         the mechanism for 'the dataset release we trained run X on stays
-        time-travelable'. Returns the pinned version."""
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
-            raise ValueError(f"invalid tag name {name!r}")
+        time-travelable'. Returns the pinned version.
+
+        Concurrency: creation without ``overwrite`` is ATOMIC (exclusive
+        create — two racing taggers of one name: one wins, one raises,
+        no silent clobber). After the tag file lands, the snapshot is
+        RE-verified (manifest + every data file): a maintenance job that
+        raced the tag and already removed part of the snapshot makes
+        this call remove its tag and raise loudly, instead of leaving a
+        dangling pin the user believes safe."""
+        self._check_tag_name(name)
         if version is None:
             m = self._current_core()
             if m is None:
@@ -2421,14 +2428,44 @@ class LakeTable:
             )
         os.makedirs(self._tags_dir(), exist_ok=True)
         p = os.path.join(self._tags_dir(), f"{name}.json")
-        if os.path.exists(p) and not overwrite:
-            raise ValueError(f"tag {name!r} exists (overwrite=True to move it)")
-        tmp = p + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump({"name": name, "version": int(version),
-                       "created_at": time.time()}, fh)
-        os.replace(tmp, p)
+        payload = json.dumps({"name": name, "version": int(version),
+                              "created_at": time.time()})
+        if overwrite:
+            tmp = p + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, p)
+        else:
+            try:
+                with open(p, "x") as fh:  # exclusive create: no clobber race
+                    fh.write(payload)
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} exists (overwrite=True to move it)"
+                )
+        # post-publish verification: once the tag file is visible, any
+        # FUTURE expire/vacuum honors it — but one that raced us may
+        # already have removed pieces. Fail loudly, not danglingly.
+        m_full = load_manifest_at(self.path, int(version))
+        missing = (
+            ["manifest"]
+            if m_full is None
+            else sorted(f for f in all_files_of(m_full) if not os.path.exists(f))
+        )
+        if missing:
+            os.remove(p)
+            raise ValueError(
+                f"tag {name!r} lost a race with maintenance: v{version} is "
+                f"no longer fully retained ({missing[0]} gone) — re-tag a "
+                "retained version"
+            )
         return int(version)
+
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        # '.tmp.' is reserved for in-flight files that tags() filters out
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or ".tmp." in name:
+            raise ValueError(f"invalid tag name {name!r}")
 
     def tags(self) -> dict:
         """{tag name: pinned version} for every tag on the table."""
@@ -2450,6 +2487,7 @@ class LakeTable:
     def drop_tag(self, name: str) -> bool:
         """Remove a tag (its version rejoins the normal retention
         windows). Returns whether the tag existed."""
+        self._check_tag_name(name)  # no path traversal out of tags/
         try:
             os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
             return True

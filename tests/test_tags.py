@@ -65,3 +65,43 @@ def test_tag_overwrite_and_validation(spark, tmp_path):
     # a second handle sees the same tags (files, not memory)
     t2 = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
     assert t2.tags() == {"prod": v1}
+
+
+def test_tag_race_and_traversal_guards(spark, tmp_path):
+    """Review-pass regressions: reserved '.tmp.' names rejected (tags()
+    filters them, so they'd pin nothing); drop_tag validates the name (no
+    path traversal out of tags/); exclusive create (no clobber without
+    overwrite); a tag that lost a race with maintenance fails LOUDLY and
+    removes itself instead of dangling."""
+    import os
+
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    t.merge_upsert(_rows(spark, [1], 0, "a"), keys=["id"], order_by=["seq"],
+                   batch_id=0)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("model.tmp.2")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.drop_tag("../manifests/v0000000000")
+    # exclusive create: the losing creator raises, the pin is not clobbered
+    v0 = t.tag("rel")
+    with pytest.raises(ValueError, match="exists"):
+        t.tag("rel")
+    assert t.tags() == {"rel": v0}
+    # race with maintenance: delete a data file of the snapshot between
+    # the existence check and the post-publish verify (simulated by
+    # removing it up front — the verify runs after the tag file lands)
+    t.merge_upsert(_rows(spark, [1], 1, "b"), keys=["id"], order_by=["seq"],
+                   batch_id=1)
+    t.drop_tag("rel")
+    t.expire_manifests(retain_last=1, grace_seconds=0.0)
+    victim = t.current_manifest()
+    f = sorted(victim["files"].values())[0][0]
+    os.rename(f, f + ".hidden")
+    try:
+        with pytest.raises(ValueError, match="lost a race with maintenance"):
+            t.tag("rel2")
+        assert "rel2" not in t.tags()  # the half-made pin removed itself
+    finally:
+        os.rename(f + ".hidden", f)
