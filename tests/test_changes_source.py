@@ -211,3 +211,42 @@ def test_batch_changelog_empty_window_returns_zero_rows(spark, tmp_path):
     df3 = (spark.read.format("laketable_changes").option("path", path)
            .option("starting_version", -1).load())
     assert df3.count() == 10
+
+
+def test_walk_loads_only_changed_sections(spark, tmp_path, monkeypatch):
+    """The commit walk's per-version cost must be O(changed buckets):
+    walking N single-bucket commits on a 32-bucket split table loads
+    ~2 sections per step (changed bucket, both endpoints), never
+    N x 32. Pinned by counting _load_section calls with a cold cache."""
+    from tap_rest_api_msdk_spark.streaming import laketable as lt
+
+    t = lt.LakeTable(spark, str(tmp_path / "tbl"), num_buckets=32)
+    t.merge_upsert(
+        spark.createDataFrame([(i, 0, "b") for i in range(600)],
+                              "id long, seq long, text string"),
+        keys=["id"], order_by=["seq"], batch_id=0)
+    v0 = t.current_manifest()["version"]
+    for i in range(1, 11):  # 10 commits, one key (= one bucket) each
+        t.merge_upsert(
+            spark.createDataFrame([(7 * i, i, "u")],
+                                  "id long, seq long, text string"),
+            keys=["id"], order_by=["seq"], batch_id=i, mode="mor")
+    head = t.current_manifest()["version"]
+
+    calls = {"n": 0}
+    real = lt._load_section
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(lt, "_load_section", counting)
+    lt._SECTION_CACHE.clear()  # cold cache: count true loads
+    added = lt.walk_added_files(str(tmp_path / "tbl"), v0, head)
+    # one data commit per step; a commit may split its key's bucket into
+    # several salt-slice files, so >= 10 files arrive over 10 steps
+    assert len(added) >= 10
+    assert {v for _f, v in added} == set(range(v0 + 1, head + 1))
+    # each step loads the CHANGED bucket's section on both endpoints
+    # (a handful of loads) — the all-buckets behavior would be >= 320
+    assert calls["n"] <= 6 * 10, calls["n"]
