@@ -90,12 +90,17 @@ def stream_net_changes(
     checkpoint_dir: str,
     starting_version: Optional[int] = None,
     await_termination: bool = True,
+    processing_time: Optional[str] = None,
 ):
     """Run the table's row-level changelog through Structured Streaming:
     each micro-batch calls ``apply_fn(diff_df, batch_id, (from_v, to_v))``
-    with the exact net diff of its commit window. ``availableNow``
-    trigger: drains to the current HEAD and stops (call again with the
-    same ``checkpoint_dir`` to continue from where it left off).
+    with the exact net diff of its commit window. Default trigger is
+    ``availableNow``: drains to the current HEAD and stops (call again
+    with the same ``checkpoint_dir`` to continue from where it left
+    off). Pass ``processing_time`` (e.g. ``"1 second"``) for a LIVE
+    tail that keeps polling the commit log — the returned
+    StreamingQuery runs until ``.stop()`` (``await_termination`` is
+    ignored; a live tail never terminates on its own).
 
     ``starting_version``: first window opens at this version (its state
     is the baseline; pass ``-1`` for all-history = initial snapshot as
@@ -187,16 +192,17 @@ def stream_net_changes(
         diff = table.cdc_diff(start, end)
         apply_fn(diff, batch_id, (start, end))
 
-    q = (
+    writer = (
         spark.readStream.format("laketable_changes")
         .option("path", table.path)
         .option("starting_version", starting_version)
         .load()
         .writeStream.foreachBatch(fb)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "spark"))
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", spark_ckpt)
     )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
     if await_termination:
         q.awaitTermination()
     return q

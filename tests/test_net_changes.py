@@ -345,3 +345,36 @@ def test_net_changes_consumer_races_live_writer(spark, tmp_path):
     wins = [w for _, w in rep.windows]
     for (_, e0), (s1, _) in zip(wins, wins[1:]):
         assert s1 == e0
+
+
+def test_net_changes_live_tail_processing_time(spark, tmp_path):
+    """processing_time trigger: a LIVE tail keeps delivering windows as
+    commits land, without re-invoking the drain helper."""
+    import time as _time
+
+    path, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(20), 0, "base"), keys=["id"],
+                   order_by=["seq"], batch_id=0, op_col="op")
+    rep = _Replica()
+    q = stream_net_changes(t, rep.apply, ckpt, starting_version=-1,
+                           processing_time="250 milliseconds")
+    try:
+        def wait_for(pred, timeout=90):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred():
+                    return True
+                _time.sleep(0.5)
+            return False
+
+        assert wait_for(lambda: len(rep.state) == 20), rep.state
+        t.merge_upsert(_rows(spark, [3], 1, "u1"), keys=["id"],
+                       order_by=["seq"], batch_id=1, op_col="op", mode="mor")
+        assert wait_for(lambda: rep.state.get(3) == (1, "u1-3")), rep.state
+        t.merge_upsert(_rows(spark, [5], 2, "gone", op="delete"), keys=["id"],
+                       order_by=["seq"], batch_id=2, op_col="op", mode="mor")
+        assert wait_for(lambda: 5 not in rep.state), rep.state
+    finally:
+        q.stop()
+    rep.assert_matches(t)
