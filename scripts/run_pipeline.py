@@ -57,6 +57,11 @@ def parse_args(argv):
                    help="stream mode: keep tailing instead of drain-and-stop")
     p.add_argument("--tap-config", default=None,
                    help="path to a tap-style JSON config (overrides flags)")
+    p.add_argument("--tag", default=None,
+                   help="after a successful batch/stream run, pin the "
+                        "resulting snapshot under this name (survives "
+                        "expire/vacuum; read back via "
+                        "to_df(version=<tag>))")
     p.add_argument("--demo", action="store_true",
                    help="synthesize a WAL in a temp dir and replay it")
     return p.parse_args(argv)
@@ -164,13 +169,17 @@ def main(argv=None) -> int:
             _q.awaitTermination()
 
     m = table.current_manifest()
-    print(json.dumps({
+    summary = {
         "table": args.table,
         "version": m["version"] if m else None,
         "batch_id": m["batch_id"] if m else None,
         "bookmarks": m.get("bookmarks", {}) if m else {},
         "live_rows": table.to_df().count() if m else 0,
-    }))
+    }
+    if args.tag and m:
+        summary["tag"] = args.tag
+        summary["tagged_version"] = table.tag(args.tag, overwrite=True)
+    print(json.dumps(summary))
     return 0
 
 
