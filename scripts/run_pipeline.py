@@ -124,8 +124,24 @@ def main(argv=None) -> int:
 
         stream_net_changes(table, sink, ckpt,
                            starting_version=args.from_version)
-        print(json.dumps({"table": args.table, "sink": args.sink_dir,
-                          "windows": applied}))
+        summary = {"table": args.table, "sink": args.sink_dir,
+                   "windows": applied}
+        if args.tag:
+            # pin the version the consumer drained TO (falls back to the
+            # current head when this drain saw no data commits)
+            from tap_rest_api_msdk_spark.streaming.laketable import (
+                head_version,
+            )
+
+            v = applied[-1]["to"] if applied else head_version(args.table)
+            if v is None:
+                print("--tag: nothing to pin (no committed snapshot)",
+                      file=sys.stderr)
+                return 2
+            summary["tag"] = args.tag
+            summary["tagged_version"] = table.tag(args.tag, version=v,
+                                                  overwrite=True)
+        print(json.dumps(summary))
         return 0
 
     if not args.wal_dir or not args.table:

@@ -48,12 +48,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _tokens(text: Column) -> Column:
+    """THE tokenization both the gram computation and the estimate-mode
+    size bound share — the bound 'distinct grams <= sum(tokens - n + 1)'
+    is only valid if both tokenize identically, so there is one copy."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
 def ngram_hash_grams(text: Column, n: int = 13) -> Column:
     """All n-token shingles of whitespace-tokenized lowercased ``text``,
     each hashed to a bigint with ``xxhash64`` — pure JVM expression, no
     Python, no gram strings leaving the row. Docs shorter than ``n``
     tokens yield an empty array."""
-    tokens = F.split(F.lower(F.trim(text)), "\\s+")
+    tokens = _tokens(text)
     return F.when(
         F.size(tokens) >= n,
         F.transform(
@@ -67,7 +74,7 @@ def _eval_gram_upper_bound(eval_docs: DataFrame, text_col: str, n: int) -> int:
     """Driver-side upper bound on the eval split's distinct-gram count:
     a doc with t tokens has at most t - n + 1 grams, so one aggregate
     over the filtered eval side bounds the build size of the probe."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    tokens = _tokens(F.col(text_col))
     row = eval_docs.select(
         F.coalesce(
             F.sum(F.greatest(F.size(tokens) - (n - 1), F.lit(0))), F.lit(0)

@@ -2336,7 +2336,7 @@ class LakeTable:
         live: set = set()
         newest = m["version"]
         keep = set(range(max(0, newest - max(1, retain_last) + 1), newest + 1))
-        keep |= set(self.tags().values())  # tagged snapshots stay readable
+        keep |= set(self.tags(strict=True).values())  # unreadable tag = abort, not unpin
         for v in sorted(keep):
             snap = self.manifest_at(v)
             if snap is None:
@@ -2430,7 +2430,13 @@ class LakeTable:
         p = os.path.join(self._tags_dir(), f"{name}.json")
         payload = json.dumps({"name": name, "version": int(version),
                               "created_at": time.time()})
+        prev_payload = None
         if overwrite:
+            try:
+                with open(p) as fh:  # kept for rollback on failed verify
+                    prev_payload = fh.read()
+            except FileNotFoundError:
+                pass
             tmp = p + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 fh.write(payload)
@@ -2445,7 +2451,9 @@ class LakeTable:
                 )
         # post-publish verification: once the tag file is visible, any
         # FUTURE expire/vacuum honors it — but one that raced us may
-        # already have removed pieces. Fail loudly, not danglingly.
+        # already have removed pieces. Fail loudly, not danglingly — and
+        # an overwrite that fails verification RESTORES the previous pin
+        # (deleting it would silently unprotect a still-valid snapshot).
         m_full = load_manifest_at(self.path, int(version))
         missing = (
             ["manifest"]
@@ -2453,7 +2461,13 @@ class LakeTable:
             else sorted(f for f in all_files_of(m_full) if not os.path.exists(f))
         )
         if missing:
-            os.remove(p)
+            if prev_payload is not None:
+                tmp = p + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    fh.write(prev_payload)
+                os.replace(tmp, p)
+            else:
+                os.remove(p)
             raise ValueError(
                 f"tag {name!r} lost a race with maintenance: v{version} is "
                 f"no longer fully retained ({missing[0]} gone) — re-tag a "
@@ -2467,8 +2481,13 @@ class LakeTable:
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or ".tmp." in name:
             raise ValueError(f"invalid tag name {name!r}")
 
-    def tags(self) -> dict:
-        """{tag name: pinned version} for every tag on the table."""
+    def tags(self, strict: bool = False) -> dict:
+        """{tag name: pinned version} for every tag on the table.
+
+        ``strict=True`` (used by the DESTRUCTIVE maintenance passes —
+        vacuum, expire_manifests) re-raises read errors instead of
+        skipping the tag: failing open on a transiently unreadable tag
+        file would let maintenance delete the very snapshot it pins."""
         out: dict = {}
         try:
             names = os.listdir(self._tags_dir())
@@ -2481,6 +2500,8 @@ class LakeTable:
                 with open(os.path.join(self._tags_dir(), n)) as fh:
                     out[n[:-5]] = int(json.load(fh)["version"])
             except (json.JSONDecodeError, OSError, KeyError, ValueError):
+                if strict:
+                    raise
                 continue
         return out
 
@@ -2517,7 +2538,7 @@ class LakeTable:
         if m is None:
             return 0
         cutoff = m["version"] - max(1, retain_last) + 1
-        pinned = set(self.tags().values())  # tagged versions never expire
+        pinned = set(self.tags(strict=True).values())  # tags never expire; unreadable tag = abort
         mdir = os.path.join(self.path, "manifests")
         removed = 0
         for name in os.listdir(mdir):

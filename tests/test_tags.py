@@ -105,3 +105,38 @@ def test_tag_race_and_traversal_guards(spark, tmp_path):
         assert "rel2" not in t.tags()  # the half-made pin removed itself
     finally:
         os.rename(f + ".hidden", f)
+
+
+def test_tag_overwrite_verify_failure_restores_previous_pin(spark, tmp_path):
+    """An overwrite whose post-publish verify fails must RESTORE the
+    previous (still valid) pin, not delete it — and maintenance passes
+    must treat an unreadable tag file as an abort, not as unpinned."""
+    import os
+
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    t.merge_upsert(_rows(spark, [1, 2], 0, "a"), keys=["id"],
+                   order_by=["seq"], batch_id=0)
+    v_good = t.tag("rel")
+    t.merge_upsert(_rows(spark, [1], 1, "b"), keys=["id"], order_by=["seq"],
+                   batch_id=1)
+    v_bad = t.current_manifest()["version"]
+    f = sorted(t.current_manifest()["files"].values())[0][0]
+    os.rename(f, f + ".hidden")
+    try:
+        with pytest.raises(ValueError, match="lost a race"):
+            t.tag("rel", version=v_bad, overwrite=True)
+        assert t.tags() == {"rel": v_good}  # previous pin restored
+    finally:
+        os.rename(f + ".hidden", f)
+
+    # strict mode: a corrupt tag file ABORTS maintenance instead of
+    # silently unpinning
+    with open(os.path.join(str(tmp_path / "t"), "tags", "rel.json"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(Exception):
+        t.vacuum(retain_last=1)
+    with pytest.raises(Exception):
+        t.expire_manifests(retain_last=1, grace_seconds=0.0)
+    assert t.tags() == {}  # lenient listing still skips it
