@@ -97,11 +97,26 @@ def _read_partition(schema_json: str, partition):
 
 def _start_version_option(options, default):
     """Accept BOTH spellings on both read modes ('starting_version' per
-    the streaming docs, 'start_version' per the batch window)."""
+    the streaming docs, 'start_version' per the batch window). The value
+    may be an int version or a TAG NAME — 'changes since release-1'."""
     for name in ("starting_version", "start_version"):
         v = options.get(name)
-        if v is not None:
+        if v is None:
+            continue
+        try:
             return int(v)
+        except ValueError:
+            from tap_rest_api_msdk_spark.streaming.laketable import (
+                read_tag_version,
+            )
+
+            tv = read_tag_version(options.get("path", ""), str(v))
+            if tv is None:
+                raise ValueError(
+                    f"laketable_changes: {name}={v!r} is neither a version "
+                    "nor a known tag"
+                )
+            return tv
     return default
 
 

@@ -257,6 +257,16 @@ def assemble_manifest_buckets(
     return assemble_manifest(table_path, pruned)
 
 
+def read_tag_version(table_path: str, name: str) -> Optional[int]:
+    """Version pinned by tag ``name`` (module-level so metadata consumers
+    — the changes data source — need no LakeTable instance)."""
+    try:
+        with open(os.path.join(table_path, "tags", f"{name}.json")) as fh:
+            return int(json.load(fh)["version"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+        return None
+
+
 def head_version(table_path: str) -> Optional[int]:
     """O(1 + pointer lag) HEAD version (pointer hint + forward probe;
     directory-listing fallback)."""
@@ -751,9 +761,9 @@ class LakeTable:
 
         return lww_dedup(df, list(m["keys"]) + ["__bucket"], m["order_by"])
 
-    def changes_since(self, version: int) -> Optional[DataFrame]:
+    def changes_since(self, version) -> Optional[DataFrame]:
         """Incremental CDC read: rows in data files added by DATA commits
-        after ``version``.
+        after ``version`` (an int version or a TAG name).
 
         Maintenance commits (folds, compactions) rewrite unchanged base
         rows into fresh files — including those would misreport the whole
@@ -774,6 +784,7 @@ class LakeTable:
         # CORE head only: schema/version are core fields and the walk's
         # section-ref step-diff handles an unassembled end manifest — a
         # full assembly here would make every batch poll O(live files)
+        version = self.resolve_version(version)
         new = self._current_core()
         if new is None:
             return None

@@ -104,8 +104,9 @@ def stream_net_changes(
 
     ``starting_version``: first window opens at this version (its state
     is the baseline; pass ``-1`` for all-history = initial snapshot as
-    inserts). Default: table HEAD at first call — only future commits
-    stream. Ignored on resume (the checkpoint wins, as in any stream).
+    inserts, or a TAG NAME — 'changes since release-1'). Default: table
+    HEAD at first call — only future commits stream. Ignored on resume
+    (the checkpoint wins, as in any stream).
     """
     from tap_rest_api_msdk_spark.streaming.changes_source import (
         LakeTableChangesDataSource,
@@ -122,6 +123,8 @@ def stream_net_changes(
     if starting_version is None:
         head = head_version(table.path)
         starting_version = head if head is not None else -1
+    else:
+        starting_version = table.resolve_version(starting_version)
     # seed the baseline ONCE, at first setup (batch_id=-1 sentinel): on
     # resume the ledger (like the Spark checkpoint) wins, so a drain that
     # saw no data commits still pins the original baseline — otherwise a

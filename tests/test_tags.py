@@ -140,3 +140,42 @@ def test_tag_overwrite_verify_failure_restores_previous_pin(spark, tmp_path):
     with pytest.raises(Exception):
         t.expire_manifests(retain_last=1, grace_seconds=0.0)
     assert t.tags() == {}  # lenient listing still skips it
+
+
+def test_changes_reads_accept_tag_refs(spark, tmp_path):
+    """'Changes since release-1': changes_since, the batch changelog
+    source, and stream_net_changes all accept a tag name as the window
+    anchor."""
+    from tap_rest_api_msdk_spark.streaming.changes_source import (
+        LakeTableChangesDataSource,
+    )
+    from tap_rest_api_msdk_spark.streaming.net_changes import (
+        stream_net_changes,
+    )
+
+    spark.dataSource.register(LakeTableChangesDataSource)
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, num_buckets=4)
+    t.merge_upsert(_rows(spark, range(10), 0, "a"), keys=["id"],
+                   order_by=["seq"], batch_id=0)
+    t.tag("release-1")
+    t.merge_upsert(_rows(spark, [3, 4], 1, "b"), keys=["id"],
+                   order_by=["seq"], batch_id=1, mode="mor")
+
+    assert t.changes_since("release-1").count() == 2
+    df = (spark.read.format("laketable_changes").option("path", path)
+          .option("start_version", "release-1").load())
+    assert df.count() == 2
+
+    got = {}
+    stream_net_changes(
+        t, lambda d, b, w: got.update({r["id"]: r["change"] for r in d.collect()}),
+        str(tmp_path / "ck"), starting_version="release-1",
+    )
+    assert got == {3: "update", 4: "update"}
+
+    import pytest
+
+    with pytest.raises(Exception, match="neither a version nor a known tag"):
+        (spark.read.format("laketable_changes").option("path", path)
+         .option("start_version", "no-such-tag").load().count())
