@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
         "dedup_survivors_quality": Q.q_dedup_survivors_quality,
+        "corpus_final_filter": Q.q_corpus_final_filter,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -1126,6 +1127,84 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) as bigint) as n_kept,
                bit_xor(doc_id) as xor_kept_ids
         from kept group by source
+    """
+    # the capstone composition: quality-aware dedup survivors x quality
+    # gate x 13-gram decontamination -> per-source kept set, exact-pinned
+    d["corpus_final_filter"] = f"""
+        with recursive pairs as (
+            select id_a, id_b from ({portable_minhash_oracle_sql(
+                "documents", "doc_id", "text", n=3, k=32, bands=16, threshold=0.5
+            )}) q
+        ), edges as (
+            select id_a as a, id_b as b from pairs
+            union
+            select id_b, id_a from pairs
+        ), reach(src, dst) as (
+            select a, b from edges
+            union
+            select r.src, e.b from reach r join edges e on r.dst = e.a
+        ), comp as (
+            select src as node, least(src, min(dst)) as comp
+            from reach group by src
+        ), tok as (
+            select doc_id, source, unnest({_WS_TOKENS}) as tk from documents
+        ), agg as (
+            select doc_id, source,
+                   count(*) as n_tok,
+                   count(distinct tk) as n_distinct,
+                   cast(sum(len(tk)) as bigint) as sum_len,
+                   cast(sum(case when tk in ('the','a','of','and','to','in','is','it')
+                                 then 1 else 0 end) as bigint) as n_stop
+            from tok group by doc_id, source
+        ), qsc as (
+            select doc_id, source,
+                   floor(((((n_distinct / cast(n_tok as double)) * 5e-1
+                           - (n_stop / cast(n_tok as double)) * 8e-1)
+                          + (sum_len / cast(n_tok as double)) * 1e-1)
+                         + n_tok * 2e-3) * 10000) / 10000 as quality_score,
+                   ((((n_distinct / cast(n_tok as double)) * 5e-1
+                      - (n_stop / cast(n_tok as double)) * 8e-1)
+                     + (sum_len / cast(n_tok as double)) * 1e-1)
+                    + n_tok * 2e-3) > 0.75 as keep
+            from agg
+        ), ranked as (
+            select c.node,
+                   row_number() over (
+                       partition by c.comp
+                       order by q.quality_score desc, c.node desc
+                   ) as rn
+            from comp c join qsc q on q.doc_id = c.node
+        ), losers as (
+            select node as doc_id from ranked where rn > 1
+        ), tokarr as (
+            select doc_id, {_WS_TOKENS} as toks from documents
+        ), gr as (
+            select doc_id, array_to_string(toks[i:i+12], ' ') as gram
+            from tokarr, unnest(generate_series(1, greatest(len(toks) - 12, 0))) as t(i)
+        ), tg as (
+            select distinct doc_id, gram from gr where doc_id % 20 <> 0
+        ), eg as (
+            select distinct gram from gr where doc_id % 20 = 0
+        ), cont as (
+            select tg.doc_id,
+                   max(case when eg.gram is not null then 1 else 0 end) as c
+            from tg left join eg on tg.gram = eg.gram
+            group by tg.doc_id
+        ), verdict as (
+            select d.doc_id, d.source,
+                   (coalesce(cont.c, 0) = 0
+                    and qsc.keep
+                    and d.doc_id not in (select doc_id from losers)) as kept
+            from documents d
+            join qsc on qsc.doc_id = d.doc_id
+            left join cont on cont.doc_id = d.doc_id
+            where d.doc_id % 20 <> 0
+        )
+        select source,
+               cast(count(*) as bigint) as n_train,
+               cast(sum(case when kept then 1 else 0 end) as bigint) as n_kept,
+               bit_xor(case when kept then doc_id else 0 end) as xor_kept_ids
+        from verdict group by source
     """
     # GPT-style concat-and-chunk packing, per (source, shard) — integer
     # prefix sums; div/% on non-negative ints agree across engines

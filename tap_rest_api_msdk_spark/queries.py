@@ -1352,3 +1352,60 @@ def q_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
     )
+
+
+def q_corpus_final_filter(spark, sf_dir):
+    """The CAPSTONE data-pipeline composition — what actually ships to
+    training: per source, how many TRAIN docs survive the full gauntlet
+    of (1) quality-aware near-dup SURVIVOR selection (clusters keep only
+    their best-scoring member), (2) the linear QUALITY gate, and (3)
+    13-gram benchmark DECONTAMINATION. Output pins the exact kept set
+    per source (count + XOR of ids). Every stage is an already-oracled
+    operator; this query proves they compose."""
+    from tap_rest_api_msdk_spark.operators.decontaminate import (
+        decontaminate_ngram_overlap,
+    )
+    from tap_rest_api_msdk_spark.operators.neardup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qsc = _quality_scores(docs)
+
+    pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
+                          threshold=0.5, portable=True)
+    comps = connected_components(pairs)
+    scored = comps.join(
+        qsc.select(F.col("doc_id").alias("node"), "quality_score"), "node"
+    )
+    best = scored.groupBy("comp").agg(
+        F.max(F.struct("quality_score", "node")).alias("__b")
+    )
+    losers = (
+        scored.join(best, "comp")
+        .filter(F.col("node") != F.col("__b.node"))
+        .select(F.col("node").alias("doc_id"))
+    )
+
+    cont = decontaminate_ngram_overlap(docs, "doc_id", "text", n=13)
+    kept = (
+        cont.filter(~F.col("contaminated"))
+        .select("doc_id")
+        .join(qsc.filter("keep").select("doc_id"), "doc_id")
+        .join(losers, "doc_id", "left_anti")
+    )
+    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "source")
+    return (
+        train.join(kept.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "bit_xor(case when __k is not null then doc_id else 0 end)"
+            ).alias("xor_kept_ids"),
+        )
+    )
