@@ -147,12 +147,17 @@ def test_net_changes_default_start_survives_empty_first_drain(spark, tmp_path):
     assert rep.state == {4: (1, "b1-4"), 5: (2, "b2-5")}
 
 
-def test_net_changes_reconstructs_pipeline_table_under_chaos(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_net_changes_reconstructs_pipeline_table_under_chaos(spark, tmp_path, seed):
     """Soak: the NET-changes stream consumes a pipeline that rotates sink
     modes, replays duplicate batch ids, compacts, vacuums, and expires
     metadata. Applying each window's insert/update/delete diff to a
     replica must end at exactly the table's live state — the row-level
-    CDC-consumer contract under full maintenance chaos."""
+    CDC-consumer contract under full maintenance chaos. Two seeds =
+    two different interleavings of modes/duplicates/maintenance."""
     import random
 
     from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
@@ -161,7 +166,7 @@ def test_net_changes_reconstructs_pipeline_table_under_chaos(spark, tmp_path):
         process_batch,
     )
 
-    rng = random.Random(11)
+    rng = random.Random(seed)
     N = 3000
     wal = synth_repo_wal(spark, N, n_repos=6, n_paths=25, skew=4.0,
                          delete_mod=20, shredded=True).cache()
