@@ -1124,13 +1124,13 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
-def q_dedup_survivors_quality(spark, sf_dir):
-    """Quality-aware survivor selection (the policy real pipelines use
-    instead of keep-min-id): near-dup pairs -> connected components ->
-    per cluster, KEEP the member with the best quality_linear_score
-    (doc_id as the deterministic tie-break). One row per cluster with its
-    size and the kept doc — composes the dedup and model-based-quality
-    operators end to end."""
+def _neardup_quality_scored(spark, sf_dir):
+    """(node, comp, quality_score) for every near-dup cluster member —
+    THE shared base of quality-aware survivor selection: one copy of the
+    pair generation, component labels, and quality join, so the
+    keep-best-member policy (and its doc_id-desc tie-break, mirrored in
+    both oracles) can never diverge between q_dedup_survivors_quality
+    and the capstone q_corpus_final_filter."""
     from tap_rest_api_msdk_spark.operators.neardup import (
         connected_components,
         minhash_dedup,
@@ -1140,16 +1140,30 @@ def q_dedup_survivors_quality(spark, sf_dir):
     pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
                           threshold=0.5, portable=True)
     comps = connected_components(pairs)
-    q = q_quality_linear_score(spark, sf_dir).select(
+    q = _quality_scores(docs).select(
         F.col("doc_id").alias("node"), "quality_score"
     )
-    scored = comps.join(q, "node")
+    return comps.join(q, "node")
+
+
+def _best_member():
+    """ONE definition of the survivor tie-break (best quality, then
+    HIGHEST node id — both oracles mirror `order by quality_score desc,
+    node desc`)."""
+    return F.max(F.struct("quality_score", "node")).alias("__best")
+
+
+def q_dedup_survivors_quality(spark, sf_dir):
+    """Quality-aware survivor selection (the policy real pipelines use
+    instead of keep-min-id): near-dup pairs -> connected components ->
+    per cluster, KEEP the member with the best quality_linear_score
+    (doc_id as the deterministic tie-break). One row per cluster with its
+    size and the kept doc — composes the dedup and model-based-quality
+    operators end to end."""
+    scored = _neardup_quality_scored(spark, sf_dir)
     return (
         scored.groupBy("comp")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(F.struct("quality_score", "node")).alias("__best"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_members"), _best_member())
         .select(
             "comp",
             "n_members",
@@ -1365,26 +1379,15 @@ def q_corpus_final_filter(spark, sf_dir):
     from tap_rest_api_msdk_spark.operators.decontaminate import (
         decontaminate_ngram_overlap,
     )
-    from tap_rest_api_msdk_spark.operators.neardup import (
-        connected_components,
-        minhash_dedup,
-    )
 
     docs = _t(spark, sf_dir, "documents")
-    qsc = _quality_scores(docs)
+    qsc = _quality_scores(docs, ("source",))
 
-    pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
-                          threshold=0.5, portable=True)
-    comps = connected_components(pairs)
-    scored = comps.join(
-        qsc.select(F.col("doc_id").alias("node"), "quality_score"), "node"
-    )
-    best = scored.groupBy("comp").agg(
-        F.max(F.struct("quality_score", "node")).alias("__b")
-    )
+    scored = _neardup_quality_scored(spark, sf_dir)
+    best = scored.groupBy("comp").agg(_best_member())
     losers = (
         scored.join(best, "comp")
-        .filter(F.col("node") != F.col("__b.node"))
+        .filter(F.col("node") != F.col("__best.node"))
         .select(F.col("node").alias("doc_id"))
     )
 
@@ -1395,7 +1398,10 @@ def q_corpus_final_filter(spark, sf_dir):
         .join(qsc.filter("keep").select("doc_id"), "doc_id")
         .join(losers, "doc_id", "left_anti")
     )
-    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "source")
+    # train universe = scored docs (qsc), mirroring the oracle's inner
+    # join: a NULL-text doc tokenizes to nothing in BOTH engines and is
+    # absent from both counts
+    train = qsc.filter(F.col("doc_id") % 20 != 0).select("doc_id", "source")
     return (
         train.join(kept.withColumn("__k", F.lit(1)), "doc_id", "left")
         .groupBy("source")

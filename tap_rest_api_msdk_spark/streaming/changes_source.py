@@ -95,28 +95,33 @@ def _read_partition(schema_json: str, partition):
     yield from out.to_batches(max_chunksize=8192)
 
 
+def _resolve_version_option(table_path: str, name: str, v):
+    """Option value -> version: int, numeric string, or TAG NAME —
+    'changes since release-1'. Raises with the option name on an
+    unresolvable value."""
+    try:
+        return int(v)
+    except ValueError:
+        from tap_rest_api_msdk_spark.streaming.laketable import (
+            read_tag_version,
+        )
+
+        tv = read_tag_version(table_path, str(v))
+        if tv is None:
+            raise ValueError(
+                f"laketable_changes: {name}={v!r} is neither a version "
+                "nor a known tag"
+            )
+        return tv
+
+
 def _start_version_option(options, default):
     """Accept BOTH spellings on both read modes ('starting_version' per
-    the streaming docs, 'start_version' per the batch window). The value
-    may be an int version or a TAG NAME — 'changes since release-1'."""
+    the streaming docs, 'start_version' per the batch window)."""
     for name in ("starting_version", "start_version"):
         v = options.get(name)
-        if v is None:
-            continue
-        try:
-            return int(v)
-        except ValueError:
-            from tap_rest_api_msdk_spark.streaming.laketable import (
-                read_tag_version,
-            )
-
-            tv = read_tag_version(options.get("path", ""), str(v))
-            if tv is None:
-                raise ValueError(
-                    f"laketable_changes: {name}={v!r} is neither a version "
-                    "nor a known tag"
-                )
-            return tv
+        if v is not None:
+            return _resolve_version_option(options.get("path", ""), name, v)
     return default
 
 
@@ -126,19 +131,28 @@ class LakeTableChangesStreamReader(DataSourceStreamReader):
         if not self.table_path:
             raise ValueError("laketable_changes requires .option('path', ...)")
         self.schema_json = schema.json()
-        sv = _start_version_option(options, None)
-        if sv is not None:
-            self.start_version = sv
-        else:
-            head = _head_version(self.table_path)
-            self.start_version = head if head is not None else -1
+        # keep the RAW option: a tag-name start resolves lazily in
+        # initialOffset, which Spark only consults when NO checkpoint
+        # exists — so a restart from checkpointed offsets works even
+        # after the tag was dropped
+        self._raw_start = None
+        for name in ("starting_version", "start_version"):
+            if options.get(name) is not None:
+                self._raw_start = (name, options[name])
+                break
 
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+        if self._raw_start is not None:
+            name, v = self._raw_start
+            return {"version": _resolve_version_option(self.table_path, name, v)}
+        head = _head_version(self.table_path)
+        return {"version": head if head is not None else -1}
 
     def latestOffset(self) -> dict:
         head = _head_version(self.table_path)
-        return {"version": head if head is not None else self.start_version}
+        if head is not None:
+            return {"version": head}
+        return self.initialOffset()  # empty table: stay at the baseline
 
     def partitions(self, start: dict, end: dict):
         added = _added_files(
@@ -168,6 +182,8 @@ class LakeTableChangesBatchReader(DataSourceReader):
     def __init__(self, schema, options):
         self._schema_json = schema.json()
         self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("laketable_changes requires .option('path', ...)")
         start = _start_version_option(options, None)
         if start is None:
             raise ValueError(
@@ -176,7 +192,10 @@ class LakeTableChangesBatchReader(DataSourceReader):
         self.start_v = start
         end = options.get("end_version")
         if end is not None:
-            self.end_v = int(end)
+            # same resolution as the start: int, numeric string, or tag
+            self.end_v = _resolve_version_option(
+                self.table_path, "end_version", end
+            )
         else:
             head = _head_version(self.table_path)
             if head is None:

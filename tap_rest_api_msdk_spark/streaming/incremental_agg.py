@@ -11,10 +11,18 @@ aggregates DECREMENTALLY —
 
 ``agg_deltas`` turns one window's diff into per-group delta rows; folding
 them into the running aggregate (driver-side dict, another LakeTable, a
-database — anything additive) keeps the view exact after every window.
-Count and sum are self-inverse under these deltas, so the maintained
-view equals a full ``groupBy`` recompute at every point — pinned by
-tests/test_incremental_agg.py across mixed-mode chaos.
+database — anything additive) maintains the view incrementally.
+
+Exactness, honestly stated: the COUNT is exact under any history
+(integer deltas are self-inverse). The double SUM is exact whenever the
+values are exactly representable (ints, currency in cents, the test's
+values); for general doubles the incremental fold and a fresh
+``F.sum`` recompute can differ by accumulated ulp residue (addition is
+not associative), and a fully-retracted group can be left holding a
+~1e-16 remnant rather than disappearing. Consumers needing bit-exact
+sums over arbitrary doubles should cast the source column to DECIMAL
+upstream (the repo's standard money pattern) or treat ~ulp-scale
+residues as zero when retiring groups.
 
 Scale shape: one aggregate over the window's diff rows (O(changed keys),
 never O(table)), map-side combined, output rows = touched groups.

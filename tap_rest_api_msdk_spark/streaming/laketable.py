@@ -257,9 +257,20 @@ def assemble_manifest_buckets(
     return assemble_manifest(table_path, pruned)
 
 
+def valid_tag_name(name: str) -> bool:
+    """One rule for BOTH tag-resolution paths (LakeTable methods and the
+    data source's option strings): the safe charset, minus the reserved
+    '.tmp.' marker for in-flight files."""
+    return bool(re.fullmatch(r"[A-Za-z0-9._-]+", name)) and ".tmp." not in name
+
+
 def read_tag_version(table_path: str, name: str) -> Optional[int]:
     """Version pinned by tag ``name`` (module-level so metadata consumers
-    — the changes data source — need no LakeTable instance)."""
+    — the changes data source — need no LakeTable instance). Invalid
+    names (path traversal, reserved '.tmp.') resolve to None, same as a
+    missing tag."""
+    if not valid_tag_name(name):
+        return None
     try:
         with open(os.path.join(table_path, "tags", f"{name}.json")) as fh:
             return int(json.load(fh)["version"])
@@ -2488,8 +2499,7 @@ class LakeTable:
 
     @staticmethod
     def _check_tag_name(name: str) -> None:
-        # '.tmp.' is reserved for in-flight files that tags() filters out
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or ".tmp." in name:
+        if not valid_tag_name(name):
             raise ValueError(f"invalid tag name {name!r}")
 
     def tags(self, strict: bool = False) -> dict:
@@ -2527,8 +2537,14 @@ class LakeTable:
             return False
 
     def resolve_version(self, ref):
-        """int version -> itself; str -> the tag's pinned version."""
+        """int version -> itself; numeric string -> that version (the
+        data-source options are strings, so both surfaces coerce the
+        same way); other str -> the tag's pinned version."""
         if isinstance(ref, str):
+            try:
+                return int(ref)
+            except ValueError:
+                pass
             tags = self.tags()
             if ref not in tags:
                 raise ValueError(f"unknown tag {ref!r} (have: {sorted(tags)})")

@@ -120,11 +120,6 @@ def stream_net_changes(
     spark.dataSource.register(LakeTableChangesDataSource)
     ledger = _WindowLedger(os.path.join(checkpoint_dir, "net_window.json"))
 
-    if starting_version is None:
-        head = head_version(table.path)
-        starting_version = head if head is not None else -1
-    else:
-        starting_version = table.resolve_version(starting_version)
     # seed the baseline ONCE, at first setup (batch_id=-1 sentinel): on
     # resume the ledger (like the Spark checkpoint) wins, so a drain that
     # saw no data commits still pins the original baseline — otherwise a
@@ -132,16 +127,28 @@ def stream_net_changes(
     # head and silently skip the interim window. Seeding is gated on the
     # Spark checkpoint ALSO being absent: a lost ledger next to a
     # surviving offset checkpoint must fail loudly, not silently rebase
-    # the diff baseline onto the current head.
+    # the diff baseline onto the current head. Tag names resolve ONLY at
+    # seed time — on resume the value is ignored entirely (the docstring
+    # contract), so dropping the tag later cannot break the stream.
     spark_ckpt = os.path.join(checkpoint_dir, "spark")
-    if ledger.read() is None:
+    seeded = ledger.read()
+    if seeded is None:
         if os.path.exists(spark_ckpt):
             raise ValueError(
                 f"net-changes window ledger missing under {checkpoint_dir!r} "
                 "while the Spark offset checkpoint survives — wipe the "
                 "checkpoint directory atomically, not piecemeal"
             )
+        if starting_version is None:
+            head = head_version(table.path)
+            starting_version = head if head is not None else -1
+        else:
+            starting_version = table.resolve_version(starting_version)
         ledger.write(-1, starting_version, starting_version)
+    else:
+        # resume: pass a NUMERIC version to the source (never the tag
+        # name — the tag may be gone); Spark's checkpoint wins anyway
+        starting_version = seeded["start"]
 
     def fb(batch_df, batch_id: int):
         pinned = ledger.read()
