@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": Q.q_sample_stratified,
         "text_repetition": Q.q_text_repetition,
         "text_unigram_surprisal": Q.q_text_unigram_surprisal,
+        "text_oov_rate": Q.q_text_oov_rate,
+        "text_bigram_logprob": Q.q_text_bigram_logprob,
         "substring_dup_rate": Q.q_substring_dup_rate,
         "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
         "decontaminate_ngram_shuffle": Q.q_decontaminate_ngram_shuffle,
@@ -571,6 +573,56 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, n_tok,
                    floor(s4 / n_tok) / 10000 as mean_surprisal
+            from scored
+        """,
+        # rare-token (OOV-ish) occurrence rate with the corpus as the
+        # dictionary (threshold: corpus count < 5) — integer end to end
+        "text_oov_rate": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), c as (
+                select tk, count(*) as c from tok group by tk
+            ), per as (
+                select t.doc_id,
+                       count(*) as n_tok,
+                       sum(case when c.c < 5 then 1 else 0 end) as n_rare
+                from tok t join c using (tk)
+                group by t.doc_id
+            )
+            select doc_id,
+                   cast(n_tok as bigint) as n_tok,
+                   cast(n_rare as bigint) as n_rare,
+                   cast(floor(n_rare * 1000 / n_tok) as bigint) as oov_permille
+            from per
+        """,
+        # corpus bigram-LM score (KenLM/CCNet perplexity-filter shape):
+        # mean -ln p(w2|w1) with MLE counts from the corpus itself;
+        # per-bigram surprisal integer-quantized at the COARSE 1e4 before
+        # the sum (same transcendental-boundary argument as surprisal)
+        "text_bigram_logprob": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as w from documents
+            ), bg as (
+                select doc_id, w[i] as w1, w[i] || ' ' || w[i + 1] as g
+                from tok, unnest(generate_series(1, len(w) - 1)) as t(i)
+                where len(w) >= 2
+            ), c1 as (
+                select w1, count(*) as c1 from bg group by w1
+            ), c2 as (
+                select w1, g, count(*) as c2 from bg group by w1, g
+            ), scored as (
+                select b.doc_id,
+                       count(*) as n_bigrams,
+                       cast(sum(cast(floor(-ln(c2.c2 / c1.c1) * 10000)
+                                     as bigint)) as bigint) as s4
+                from bg b
+                join c2 using (w1, g)
+                join c1 using (w1)
+                group by b.doc_id
+            )
+            select doc_id,
+                   cast(n_bigrams as bigint) as n_bigrams,
+                   floor(s4 / n_bigrams) / 10000 as mean_bigram_logprob
             from scored
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token

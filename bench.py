@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "sample_temperature",
     "dedup_survivors_quality",
     "pii_scrub",
+    "text_oov_rate",
+    "text_bigram_logprob",
 ]
 
 

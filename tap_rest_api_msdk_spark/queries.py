@@ -1415,3 +1415,99 @@ def q_corpus_final_filter(spark, sf_dir):
             ).alias("xor_kept_ids"),
         )
     )
+
+
+def q_text_oov_rate(spark, sf_dir):
+    """Rare-token (OOV-ish) rate per doc: the fraction of token
+    OCCURRENCES whose corpus-wide occurrence count is < 5 — the
+    '% words not in a dictionary' heuristic (C4 / Gopher family) with
+    the corpus itself as the dictionary. Integer arithmetic end to end,
+    so the oracle match is exact by construction (no transcendental).
+
+    Scale shape (the substring_dup_rate device): ONE corpus scan, TWO
+    exchanges, ZERO joins. An explicit repartition on the token makes
+    hashpartitioning(tk) satisfy BOTH the (tk, doc_id) partial aggregate
+    (subset rule) and the per-token corpus-count window, so the corpus
+    count attaches to each doc's rows without a join back; the final
+    per-doc rollup is the second exchange. Rows per tk-partition are
+    bounded by that token's corpus occurrences — a stop-word's group is
+    large but the window computes one count (no per-row state), and the
+    (tk, doc_id) pre-aggregate has already collapsed each doc to one row,
+    so skew is bounded by distinct docs, spill-safe."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tok = docs.select("doc_id", F.explode(tokens).alias("tk"))
+    td = tok.repartition("tk").groupBy("tk", "doc_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    corpus_c = F.sum("k").over(Window.partitionBy("tk"))
+    per_doc = (
+        td.withColumn("rare", corpus_c < 5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tok"),
+            F.sum(F.when(F.col("rare"), F.col("k")).otherwise(0)).alias(
+                "n_rare"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_rare",
+        F.floor(F.col("n_rare") * 1000 / F.col("n_tok"))
+        .cast("long")
+        .alias("oov_permille"),
+    )
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    """Corpus bigram-LM quality score (the KenLM-perplexity-filter shape
+    of CCNet, self-contained): score each doc by its mean conditional
+    bigram logprob -ln p(w2|w1) under the corpus's own MLE bigram model,
+    p(w2|w1) = c(w1 w2) / c(w1·) with c(w1·) counting w1's occurrences
+    as a bigram PREFIX (so probabilities per prefix sum to 1 exactly).
+
+    Scale shape: ONE corpus scan, TWO exchanges, ZERO joins. Bigrams are
+    built inside the projection (zip of the token array with its tail);
+    one explicit repartition on the prefix w1 satisfies the required
+    clustering of BOTH count windows — partitionBy(w1) for the prefix
+    count and partitionBy(w1, g) for the bigram count (subset rule) —
+    so both model counts attach to each doc's rows in place; the per-doc
+    rollup is the second exchange. Per-token surprisal is quantized to
+    an integer at a COARSE 1e-4 before the distributed sum (exact,
+    order-free; ln is the one transcendental — same boundary-density
+    argument as text_unigram_surprisal)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    w = tokens
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("g")),
+    )
+    bg = (
+        docs.filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.g").alias("g"))
+    )
+    part = bg.repartition("w1")
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "g"))
+    lp_q = F.floor(-F.log(c2 / c1) * 1e4).cast("long")
+    scored = (
+        part.select("doc_id", lp_q.alias("lp_q"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_q").alias("s4"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("s4") / F.col("n_bigrams")) / 1e4).alias(
+            "mean_bigram_logprob"
+        ),
+    )

@@ -312,3 +312,19 @@ def test_pii_scrub_is_projection_only(spark):
     plan = plan_of(QUERIES["pii_scrub"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_corpus_lm_queries_join_free_shape(spark):
+    """The window-trick corpus-LM scorers (oov rate, bigram logprob) keep
+    the substring_dup_rate shape: ONE corpus scan, TWO exchanges (the
+    explicit token/prefix repartition whose hashpartitioning satisfies
+    both downstream clusterings + the per-doc rollup), and ZERO joins —
+    the corpus-wide model counts attach via count windows, never a join
+    back to the token stream."""
+    for name in ["text_oov_rate", "text_bigram_logprob"]:
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("FileScan") == 1, name
+        assert plan.count("Exchange hashpartitioning") == 2, name
+        assert "partial_" in plan, name
