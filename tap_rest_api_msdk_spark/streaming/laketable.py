@@ -1246,6 +1246,79 @@ class LakeTable:
             "a concurrent writer is evolving the schema incompatibly"
         )
 
+    def delete_where(
+        self,
+        predicate,
+        batch_id: int,
+        writer_id: str = "default",
+        mode: str = "cow",
+        seq_bump: int = 1,
+    ) -> dict:
+        """Predicate DELETE (the GDPR / retention-expiry primitive): emit
+        LWW-winning tombstones for every LIVE row matching ``predicate``
+        (a SQL string or Column), routed through the exactly-once merge
+        path — same per-writer ledger, CAS commit, and sink ``mode`` as
+        any change batch, so a replayed ``batch_id`` is a no-op and the
+        tombstones flow through ``cdc_diff``/net-changes as ordinary
+        delete events.
+
+        The tombstone's order key is the victim row's order tuple with
+        the FIRST ``order_by`` column bumped by ``seq_bump`` (the column
+        must be integral: the bump must strictly beat the victim under
+        the lexicographic LWW without touching the rest of the tuple).
+        Point-in-time semantics: a concurrent upsert committed with a
+        higher order key after our snapshot read beats the tombstone on
+        rebase/recompute — predicate deletes race like any writer, they
+        are not barriers. A later replayed LOWER-seq upsert cannot
+        resurrect the key (the persisted tombstone wins), matching the
+        WAL-fed delete semantics.
+
+        Requires the table to carry an ``op_col`` (tombstone
+        representation). Returns the merge stats plus ``n_deleted``
+        (matched live rows at the snapshot; 0 skips the commit).
+        """
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("delete_where on an empty table")
+        op_col = m.get("op_col")
+        if not op_col:
+            raise ValueError(
+                "delete_where requires a table with an op_col (tombstones "
+                "are how deletes persist); this table was created without one"
+            )
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        live = self.to_df(drop_deletes=True)
+        if live is None:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        bump_col = order_by[0]
+        dtype = dict(live.dtypes).get(bump_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"delete_where needs an integral first order_by column to "
+                f"mint a winning tombstone seq; {bump_col!r} is {dtype!r}"
+            )
+        victims = live.filter(predicate)
+        tomb = victims.withColumn(
+            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
+        ).withColumn(op_col, F.lit("delete"))
+        # one bounded action: the victim count gates the commit (an empty
+        # tombstone batch must NOT burn the writer's ledger slot — the
+        # same batch_id may later carry a real batch on replay paths)
+        n = victims.count()
+        if n == 0:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        stats = self.merge_upsert(
+            tomb,
+            keys=keys,
+            order_by=order_by,
+            batch_id=batch_id,
+            op_col=op_col,
+            mode=mode,
+            writer_id=writer_id,
+        )
+        stats["n_deleted"] = n
+        return stats
+
     def _merge_upsert_once(
         self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
         extra_manifest, affected_buckets, affected_granules, mode, writer_id,
