@@ -1319,6 +1319,127 @@ class LakeTable:
         stats["n_deleted"] = n
         return stats
 
+    def delete_keys(
+        self,
+        key_values: Sequence[dict],
+        batch_id: int,
+        writer_id: str = "default",
+        mode: str = "cow",
+        seq_bump: int = 1,
+    ) -> dict:
+        """Index-pruned point DELETE (the right-to-be-forgotten fast
+        path): tombstone SPECIFIC keys through the lookup pruning funnel
+        — bucket → (bucket, slice64) claims → per-file key blooms — so
+        the data read is O(candidate files for those keys), never a
+        table scan (contrast ``delete_where``, which evaluates an
+        arbitrary predicate over the live state). Metadata cost: only
+        the touched buckets' sections are parsed. Tombstone semantics,
+        ledger, and sink ``mode`` are exactly ``delete_where``'s; keys
+        absent (or already deleted) skip silently, and an all-absent
+        request skips the commit without burning the ledger slot.
+        ``last_delete_stats`` records the pruning funnel."""
+        m = self._current_core()
+        if m is None:
+            raise ValueError("delete_keys on an empty table")
+        op_col = m.get("op_col")
+        if not op_col:
+            raise ValueError(
+                "delete_keys requires a table with an op_col (tombstones "
+                "are how deletes persist); this table was created without one"
+            )
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        schema = T.StructType.fromJson(m["schema"])
+        bump_col = order_by[0]
+        bump_type = {f.name: f.dataType.simpleString() for f in schema.fields}[
+            bump_col
+        ]
+        if bump_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"delete_keys needs an integral first order_by column to "
+                f"mint a winning tombstone seq; {bump_col!r} is {bump_type!r}"
+            )
+        for kv in key_values:
+            if set(kv) != set(keys):
+                raise ValueError(f"delete_keys needs exactly the merge keys {keys}")
+        if not key_values:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        probe_schema = T.StructType([f for f in schema.fields if f.name in keys])
+        probe = self.spark.createDataFrame(
+            [tuple(kv[f.name] for f in probe_schema.fields) for kv in key_values],
+            probe_schema,
+        ).dropDuplicates(keys)
+        # one bounded job: every requested key's pruning coordinates
+        coords = probe.select(
+            *keys,
+            F.pmod(F.xxhash64(*keys), F.lit(self.num_buckets))
+            .cast("int")
+            .alias("__b"),
+            F.pmod(F.xxhash64(*keys, F.lit("__salt__")), F.lit(SLICE_MOD))
+            .cast("int")
+            .alias("__s64"),
+            F.xxhash64(*keys, F.lit("__bloom1__")).alias("__h1"),
+            F.xxhash64(*keys, F.lit("__bloom2__")).alias("__h2"),
+        ).collect()
+        candidates: set = set()
+        pairs: list = []
+        sections_loaded = 0
+        bucket_files_total = 0
+        by_bucket: dict = {}
+        for row in coords:
+            by_bucket.setdefault(int(row["__b"]), []).append(row)
+        for b, rows in sorted(by_bucket.items()):
+            sec = section_of(self.path, m, str(b))
+            sections_loaded += 1
+            bmeta = sec.get("slice_meta", {}) or {}
+            blooms = sec.get("key_blooms", {}) or {}
+            bucket_files = list(sec.get("files", [])) + list(sec.get("deltas", []))
+            bucket_files_total += len(bucket_files)
+            for f in bucket_files:
+                bn = os.path.basename(f)
+                ent = bmeta.get(bn)
+                bl = blooms.get(bn)
+                for row in rows:
+                    if ent:
+                        S_f, residues = int(ent[0]), ent[1]
+                        if row["__s64"] % S_f not in {int(r) for r in residues}:
+                            continue
+                    if bl is not None and not self._bloom_may_contain(
+                        bl, row["__h1"], row["__h2"]
+                    ):
+                        continue
+                    if f not in candidates:
+                        candidates.add(f)
+                        pairs.append((bn, b))
+                    break
+        self.last_delete_stats = {
+            "keys_requested": len(coords),
+            "buckets_touched": len(by_bucket),
+            "sections_loaded": sections_loaded,
+            "bucket_files": bucket_files_total,
+            "candidate_files": len(candidates),
+        }
+        resolved = self._read_resolved_subset(
+            m, candidates, pairs, None, op_col
+        )
+        victims = resolved.join(F.broadcast(probe), keys, "leftsemi")
+        tomb = victims.withColumn(
+            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
+        ).withColumn(op_col, F.lit("delete"))
+        n = victims.count()
+        if n == 0:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        stats = self.merge_upsert(
+            tomb,
+            keys=keys,
+            order_by=order_by,
+            batch_id=batch_id,
+            op_col=op_col,
+            mode=mode,
+            writer_id=writer_id,
+        )
+        stats["n_deleted"] = n
+        return stats
+
     def _merge_upsert_once(
         self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
         extra_manifest, affected_buckets, affected_granules, mode, writer_id,

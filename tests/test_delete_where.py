@@ -139,3 +139,46 @@ def test_requires_op_col_and_integral_seq(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral"):
         t2.delete_where("v = 'v'", batch_id=1)
+
+
+def test_delete_keys_prunes_and_deletes(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "pk"), num_buckets=8)
+    rows = [(i, f"r{i % 50}", f"p{i}", f"c{i}", "upsert", f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # several batches so each bucket holds several bloom-indexed files
+    for b in range(4):
+        t.merge_upsert(
+            df.filter(F.col("seq") % 4 == b),
+            KEYS,
+            ORDER,
+            batch_id=b,
+            op_col="op",
+            key_index=True,
+            mode="mor",
+        )
+    stats = t.delete_keys(
+        [{"repo": "r7", "path": "p7"}, {"repo": "r7", "path": "p107"}],
+        batch_id=10,
+    )
+    assert stats["n_deleted"] == 2
+    funnel = t.last_delete_stats
+    # bloom + slice pruning must beat "read the touched buckets whole"
+    assert funnel["candidate_files"] < funnel["bucket_files"], funnel
+    assert funnel["sections_loaded"] == funnel["buckets_touched"] <= 2
+    live = t.to_df(drop_deletes=True)
+    assert live.filter("path in ('p7', 'p107')").count() == 0
+    assert live.count() == 398
+
+    # absent keys: zero candidates, commit skipped, ledger slot intact
+    stats = t.delete_keys([{"repo": "zz", "path": "zz"}], batch_id=11)
+    assert stats["skipped"] and stats["n_deleted"] == 0
+    assert t.last_delete_stats["candidate_files"] == 0
+    # replay of the real delete is a no-op
+    v = head_version(t.path)
+    assert t.delete_keys([{"repo": "r7", "path": "p7"}], batch_id=10)["skipped"]
+    assert head_version(t.path) == v
+
+
+def test_delete_keys_validates_key_shape(spark, table):
+    with pytest.raises(ValueError, match="exactly the merge keys"):
+        table.delete_keys([{"repo": "r1"}], batch_id=5)
