@@ -1126,6 +1126,8 @@ class LakeTable:
         m = self._current_core()
         if m is None:
             return None
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
         keys = list(m["keys"])
         if set(values) != set(keys):
             raise ValueError(f"lookup needs exactly the merge keys {keys}")
@@ -1341,6 +1343,8 @@ class LakeTable:
         m = self._current_core()
         if m is None:
             raise ValueError("delete_keys on an empty table")
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
         op_col = m.get("op_col")
         if not op_col:
             raise ValueError(
@@ -1465,6 +1469,13 @@ class LakeTable:
                 raise ValueError(
                     f"order_by {list(order_by)} != table order_by {m['order_by']}"
                 )
+            # bucket count is manifest-authoritative MID-FLIGHT too (not
+            # just at reopen): after a rebucket() an instance constructed
+            # under the old count would otherwise bucket this batch into
+            # the old space and commit it with NO conflict — the first
+            # attempt's cur IS m, so only this sync protects it
+            if m.get("num_buckets"):
+                self.num_buckets = int(m["num_buckets"])
             if op_col is None:
                 op_col = m.get("op_col")
             elif m.get("op_col") is not None and op_col != m["op_col"]:
@@ -1838,6 +1849,20 @@ class LakeTable:
                 # (or a later one) — appending our delta files again would
                 # double-apply the batch; the replay becomes a no-op
                 return self._SKIP
+            if (
+                cur is not m
+                and cur is not None
+                and cur.get("num_buckets")
+                and int(cur["num_buckets"]) != self.num_buckets
+            ):
+                # a rebucket() won the race: our delta files carry __bucket
+                # values (and section claims) in the OLD bucket space —
+                # appending them would mis-route every key; recompute (the
+                # retry re-syncs num_buckets from the fresh manifest). The
+                # COW/fold paths reject this structurally (their consumed
+                # files vanished); MOR "always rebases" needs the explicit
+                # guard.
+                return None
             cur_schema = (
                 T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
             )
@@ -2311,6 +2336,8 @@ class LakeTable:
         m = self.current_manifest()
         if m is None or not m.get("deltas"):
             return {"skipped": True}
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
         k = max(1, k_fold or self.fold_every)
         round_ = int(m.get("fold_round", 0))
         t0 = time.time()
@@ -2491,6 +2518,8 @@ class LakeTable:
         m = self.current_manifest()
         if m is None:
             return {"skipped": True, "reason": "empty table"}
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
         df = self.read_state()  # resolves MOR deltas before rewriting
         op_col = m.get("op_col")
         rk = (m.get("order_by") or [None])[0]
@@ -2529,6 +2558,96 @@ class LakeTable:
         if not self._publish(manifest):
             return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Online bucket-count evolution (the hash-bucket analog of
+        Iceberg partition evolution): rewrite the full resolved state —
+        tombstones included — under ``new_num_buckets`` and commit the
+        new layout atomically. Grow a table whose buckets outgrew the
+        executor memory budget, or shrink an over-partitioned one, with
+        readers never seeing a partial layout.
+
+        Runs as MAINTENANCE: the per-writer ledger is untouched, so the
+        commit walk (changes_since / the changes stream / net-changes
+        windows) skips it — downstream CDC consumers see no phantom
+        events, and ``cdc_diff`` across the boundary is exact (every
+        bucket's file set changed, so the delta-walk degrades to the
+        full-snapshot diff — honest for a full rewrite — and the final
+        compare joins globally on keys, not on bucket ids).
+
+        Multi-writer: in-flight commits computed under the OLD count lose
+        the CAS and recompute — COW/fold structurally (their consumed
+        files vanished), MOR via the explicit bucket-drift rebase guard —
+        and every writer path re-syncs ``num_buckets`` from the fresh
+        manifest before recomputing. Old-version time travel still reads
+        its own manifest's sections, so history stays intact. Key blooms
+        are dropped for the rewritten files (files without blooms remain
+        lookup candidates — pruning-only metadata can be rebuilt by the
+        next ``key_index=True`` writes or a fold)."""
+        nb = int(new_num_buckets)
+        if nb < 1:
+            raise ValueError(f"new_num_buckets must be >= 1, got {nb}")
+        for _attempt in range(3):
+            out = self._rebucket_once(nb)
+            if out is not None:
+                return out
+        return {"skipped": True, "reason": "commit contention (3 attempts)"}
+
+    def _rebucket_once(self, nb: int) -> Optional[dict]:
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("rebucket on an empty table")
+        if m.get("num_buckets"):
+            self.num_buckets = int(m["num_buckets"])
+        if nb == self.num_buckets:
+            return {"skipped": True, "reason": f"already at {nb} buckets"}
+        t0 = time.time()
+        keys = list(m["keys"])
+        df = self.read_state()  # resolves MOR deltas; keeps tombstones
+        df = df.drop("__bucket").withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int"),
+        )
+        epoch = m["version"] + 1
+        out_dir = os.path.join(
+            self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        S = self._fpb(nb)
+        k_parts = max(1, nb * S)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
+        ).cast("int")
+        (
+            df.withColumn("__salt", salt)
+            .repartition(k_parts, "__bucket", "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        files, slice_meta = self._files_and_meta(range(nb), S, k_parts, by_index)
+        manifest = self._with_file_index({
+            **{k_: v for k_, v in m.items() if k_ != "key_blooms"},
+            "version": epoch,
+            "num_buckets": nb,
+            "files": files,
+            "deltas": {},
+            "slice_meta": slice_meta,
+            "committed_at": time.time(),
+        }, self._sizes_of(by_index))
+        if not self._publish(manifest):
+            return None  # concurrent commit: the rewritten layout is stale
+        self.num_buckets = nb
+        return {
+            "skipped": False,
+            "version": epoch,
+            "num_buckets": nb,
+            "files": len(by_index),
+            "rebucket_seconds": time.time() - t0,
+        }
 
     def vacuum(self, retain_last: int = 1, grace_seconds: float = 0.0) -> int:
         """Delete data files not referenced by the last ``retain_last``
