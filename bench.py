@@ -315,6 +315,27 @@ def main() -> None:
             steady["net_changes_consumer_events_per_sec"] = round(
                 n_tail / (time.time() - t0)
             )
+            # warm-path consumer read: zone-map-pruned read_since (rows
+            # whose current version landed in the last steady batch) vs
+            # the same filter over the full snapshot scan — the pruning
+            # win is the files_scanned/files_total ratio
+            hi_bound = n_boot + n_tail - batch_sz
+            t0 = time.time()
+            n_since = mor_table.read_since(hi_bound).count()
+            t_since = time.time() - t0
+            plan = dict(mor_table.last_read_plan or {})
+            t0 = time.time()
+            n_full = mor_table.to_df().filter(F.col("seq") >= hi_bound).count()
+            t_full = time.time() - t0
+            assert n_since == n_full, (n_since, n_full)
+            steady["read_since_rows"] = n_since
+            steady["read_since_seconds"] = round(t_since, 3)
+            steady["read_since_files"] = (
+                f"{plan.get('files_scanned')}/{plan.get('files_total')}"
+            )
+            steady["read_since_speedup_vs_fullscan"] = (
+                round(t_full / t_since, 2) if t_since > 0 else None
+            )
             s.stop()
             result["steady_state_cdc"] = steady
 
