@@ -718,6 +718,7 @@ class LakeTable:
         buckets: Optional[Sequence[int]] = None,
         version: Optional[int] = None,
         min_order: Optional[float] = None,
+        manifest: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """Snapshot read (with ``__bucket`` column); optionally restricted
         to a set of buckets — only that subset's files are listed (bucket
@@ -731,8 +732,21 @@ class LakeTable:
         FILE prune, not a row filter — callers get a superset of matching
         rows and must still filter; ``read_since`` wraps it with the
         sound LWW-then-filter composition. Files without stats are never
-        skipped. Scan accounting in ``self.last_read_plan``."""
-        m = self.manifest_at(version) if version is not None else self.current_manifest()
+        skipped. Scan accounting in ``self.last_read_plan``.
+
+        ``manifest`` pins the snapshot to an already-assembled manifest
+        (overrides ``version``): callers that also consult the manifest
+        for LWW/tombstone decisions MUST pass the one they loaded, so a
+        commit landing between two loads can't tear the read (e.g.
+        deciding to skip dedup off a pre-compact no-deltas manifest
+        while the file listing picks up a racer's new delta files)."""
+        m = (
+            manifest
+            if manifest is not None
+            else self.manifest_at(version)
+            if version is not None
+            else self.current_manifest()
+        )
         if m is None:
             return None
         schema = T.StructType.fromJson(m["schema"])
@@ -787,6 +801,8 @@ class LakeTable:
         self,
         buckets: Optional[Sequence[int]] = None,
         version: Optional[int] = None,
+        min_order: Optional[float] = None,
+        manifest: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """Resolved state: LWW over base ∪ delta rows (time-travelable).
 
@@ -794,12 +810,23 @@ class LakeTable:
         already one row per key); for merge-on-read it resolves the delta
         log against the base — the read-side half of the MOR contract.
         ``version`` also accepts a TAG NAME (named snapshot ref).
-        """
-        version = self.resolve_version(version) if version is not None else None
-        df = self.read(buckets, version=version)
-        m = self.manifest_at(version) if version is not None else self.current_manifest()
-        if df is None or m is None:
-            return df
+
+        One manifest load decides BOTH the file listing and whether LWW
+        dedup is needed (``manifest`` pins an already-loaded one) — two
+        independent loads could tear: skip dedup off a pre-compact
+        no-deltas snapshot while listing a racer's new delta files.
+        ``min_order`` zone-map-prunes the listing (see ``read``); the
+        result is then a SUPERSET of rows at that bound — ``read_since``
+        applies the residual filter."""
+        if manifest is None:
+            version = self.resolve_version(version) if version is not None else None
+            manifest = (
+                self.manifest_at(version) if version is not None else self.current_manifest()
+            )
+        m = manifest
+        if m is None:
+            return None
+        df = self.read(buckets, min_order=min_order, manifest=m)
         if not m.get("deltas"):
             return df
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
@@ -834,24 +861,9 @@ class LakeTable:
         Files without stats (legacy commits, non-numeric ordering
         columns) are always read — pruning can only skip provably-dead
         files. Scan accounting in ``self.last_read_plan``."""
-        version = self.resolve_version(version) if version is not None else None
-        m = self.manifest_at(version) if version is not None else self.current_manifest()
-        if m is None:
-            return None
-        if not m.get("order_by"):
-            raise ValueError("read_since needs a table with an order_by column")
-        df = self.read(version=version, min_order=min_order)
-        if m.get("deltas"):
-            from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
-
-            df = lww_dedup(df, list(m["keys"]) + ["__bucket"], m["order_by"])
-        order_col = m["order_by"][0]
-        df = df.filter(F.col(order_col) >= F.lit(min_order)).drop("__bucket")
-        op_col = m.get("op_col")
-        if drop_deletes and op_col and op_col in df.columns:
-            # NULL-safe tombstone filter (see to_df)
-            df = df.filter(F.col(op_col).isNull() | (F.col(op_col) != F.lit("delete")))
-        return df
+        return self.to_df(
+            drop_deletes=drop_deletes, version=version, min_order=min_order
+        )
 
     def changes_since(self, version) -> Optional[DataFrame]:
         """Incremental CDC read: rows in data files added by DATA commits
@@ -1034,8 +1046,11 @@ class LakeTable:
                     hi = mx if hi is None else max(hi, mx)
                 if ok and lo is not None:
                     out[os.path.basename(f)] = [lo, hi]
-            except OSError:
-                pass
+            except Exception:
+                # stats are prune-only metadata whose absence is defined
+                # safe — a footer pyarrow can't parse (ArrowInvalid is a
+                # ValueError, not OSError) must not fail the COMMIT
+                continue
         return out
 
     @staticmethod
@@ -1843,6 +1858,20 @@ class LakeTable:
                 # REGRESS the ledger and let a later replay apply twice
                 if self._last_for(cur, writer_id) >= batch_id:
                     return self._SKIP
+                if (
+                    cur is not None
+                    and cur.get("num_buckets")
+                    and int(cur["num_buckets"]) != self.num_buckets
+                ):
+                    # a rebucket() won the race: our files' __bucket values
+                    # and section claims are in the OLD space, and the
+                    # bucket-level conflict checks below can pass VACUOUSLY
+                    # (a commit that consumed nothing — e.g. new keys into
+                    # an empty bucket — conflicts with no file set), which
+                    # would both mix two bucket spaces in one manifest and
+                    # write back the stale num_buckets. Recompute; the
+                    # retry re-syncs the count from the fresh manifest.
+                    return None
                 # lost the CAS: our rewritten files embody the OLD state of
                 # the granules we consumed — conflict detection is
                 # (bucket, slice)-granular when we planned granularly
@@ -2006,9 +2035,10 @@ class LakeTable:
                 # values (and section claims) in the OLD bucket space —
                 # appending them would mis-route every key; recompute (the
                 # retry re-syncs num_buckets from the fresh manifest). The
-                # COW/fold paths reject this structurally (their consumed
-                # files vanished); MOR "always rebases" needs the explicit
-                # guard.
+                # fold path rejects this structurally (its consumed delta
+                # files vanished); MOR "always rebases" and COW (whose
+                # conflict checks pass vacuously when the commit consumed
+                # nothing) both carry this explicit guard.
                 return None
             cur_schema = (
                 T.StructType.fromJson(cur["schema"]) if cur and cur.get("schema") else None
@@ -2643,7 +2673,9 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
-    def compact(self, tombstone_watermark: Optional[int] = None) -> dict:
+    def compact(
+        self, tombstone_watermark: Optional[int] = None, key_index: bool = False
+    ) -> dict:
         """Rewrite the full table into one fresh epoch: merges small files
         and purges delete tombstones whose seq <= ``tombstone_watermark``
         (safe once the source can no longer replay events older than the
@@ -2655,14 +2687,21 @@ class LakeTable:
         it — on a lost CAS the whole rewrite recomputes from the fresh
         snapshot (bounded retries; compaction is maintenance, the writers
         win ties).
+
+        ``key_index=True`` re-harvests per-file key blooms for the
+        rewritten files (a full rewrite otherwise drops them — files
+        without blooms stay lookup CANDIDATES, so this only restores
+        pruning, never correctness).
         """
         for _attempt in range(3):
-            out = self._compact_once(tombstone_watermark)
+            out = self._compact_once(tombstone_watermark, key_index)
             if out is not None:
                 return out
         return {"skipped": True, "reason": "commit contention (3 attempts)"}
 
-    def _compact_once(self, tombstone_watermark: Optional[int] = None) -> Optional[dict]:
+    def _compact_once(
+        self, tombstone_watermark: Optional[int] = None, key_index: bool = False
+    ) -> Optional[dict]:
         m = self.current_manifest()
         if m is None:
             return {"skipped": True, "reason": "empty table"}
@@ -2703,12 +2742,17 @@ class LakeTable:
             **m, "version": epoch, "files": files, "deltas": {},
             "slice_meta": slice_meta, "committed_at": time.time(),
         }, self._sizes_of(by_index),
+            new_blooms=(
+                self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
+                if key_index
+                else None
+            ),
             new_stats=self._stats_of(by_index, (m.get("order_by") or [None])[0]))
         if not self._publish(manifest):
             return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}
 
-    def rebucket(self, new_num_buckets: int) -> dict:
+    def rebucket(self, new_num_buckets: int, key_index: bool = False) -> dict:
         """Online bucket-count evolution (the hash-bucket analog of
         Iceberg partition evolution): rewrite the full resolved state —
         tombstones included — under ``new_num_buckets`` and commit the
@@ -2730,19 +2774,20 @@ class LakeTable:
         and every writer path re-syncs ``num_buckets`` from the fresh
         manifest before recomputing. Old-version time travel still reads
         its own manifest's sections, so history stays intact. Key blooms
-        are dropped for the rewritten files (files without blooms remain
-        lookup candidates — pruning-only metadata can be rebuilt by the
-        next ``key_index=True`` writes or a fold)."""
+        are dropped for the rewritten files unless ``key_index=True``
+        re-harvests them (files without blooms remain lookup candidates —
+        pruning-only metadata, also rebuilt by later ``key_index=True``
+        writes or folds)."""
         nb = int(new_num_buckets)
         if nb < 1:
             raise ValueError(f"new_num_buckets must be >= 1, got {nb}")
         for _attempt in range(3):
-            out = self._rebucket_once(nb)
+            out = self._rebucket_once(nb, key_index)
             if out is not None:
                 return out
         return {"skipped": True, "reason": "commit contention (3 attempts)"}
 
-    def _rebucket_once(self, nb: int) -> Optional[dict]:
+    def _rebucket_once(self, nb: int, key_index: bool = False) -> Optional[dict]:
         m = self.current_manifest()
         if m is None:
             raise ValueError("rebucket on an empty table")
@@ -2787,6 +2832,11 @@ class LakeTable:
             "slice_meta": slice_meta,
             "committed_at": time.time(),
         }, self._sizes_of(by_index),
+            new_blooms=(
+                self._compute_file_blooms(list(by_index.values()), keys)
+                if key_index
+                else None
+            ),
             new_stats=self._stats_of(by_index, (m.get("order_by") or [None])[0]))
         if not self._publish(manifest):
             return None  # concurrent commit: the rewritten layout is stale
@@ -3058,17 +3108,32 @@ class LakeTable:
 
     # convenience for tests / oracle comparison
     def to_df(
-        self, drop_deletes: bool = True, version: Optional[int] = None
+        self,
+        drop_deletes: bool = True,
+        version: Optional[int] = None,
+        min_order: Optional[float] = None,
     ) -> Optional[DataFrame]:
         """State of the table (MOR deltas resolved, tombstones filtered by
-        default; ``version`` time-travels — an int version or a TAG name)."""
+        default; ``version`` time-travels — an int version or a TAG name).
+
+        ``min_order`` restricts the result to rows whose current version
+        has LWW ordering value >= the bound, zone-map-pruning the file
+        listing first (``read_since`` is the documented entry point; see
+        its docstring for the soundness argument). The ONE manifest load
+        here drives the listing, the dedup decision, the residual filter
+        and the tombstone filter — a racing commit can't tear them
+        apart."""
         version = self.resolve_version(version) if version is not None else None
-        df = self.read_state(version=version)
-        if df is None:
-            return None
-        df = df.drop("__bucket")
         m = self.manifest_at(version) if version is not None else self.current_manifest()
-        op_col = m.get("op_col") if m else None
+        if m is None:
+            return None
+        if min_order is not None and not m.get("order_by"):
+            raise ValueError("min_order needs a table with an order_by column")
+        df = self.read_state(min_order=min_order, manifest=m)
+        df = df.drop("__bucket")
+        if min_order is not None:
+            df = df.filter(F.col(m["order_by"][0]) >= F.lit(min_order))
+        op_col = m.get("op_col")
         if drop_deletes and op_col and op_col in df.columns:
             # NULL-safe: a row whose op is null (e.g. null-filled by schema
             # alignment) is a LIVE row, not a tombstone — a plain != would

@@ -140,3 +140,31 @@ def test_time_travel_read_since(spark, table):
     up(table, [(500, 999, "up", "later")], 4)
     assert snap(table.read_since(100, version=v)) == before
     assert (999, 500, "later") in snap(table.read_since(100))
+
+
+def test_single_manifest_load_per_read(spark, table, monkeypatch):
+    """to_df / read_since decide file listing, dedup, residual and
+    tombstone filters off ONE manifest load — a commit landing between
+    two loads must not be able to tear the read."""
+    calls = {"n": 0}
+    real = LakeTable.current_manifest
+
+    def counting(self):
+        calls["n"] += 1
+        return real(self)
+
+    monkeypatch.setattr(LakeTable, "current_manifest", counting)
+    table.read_since(100)
+    assert calls["n"] == 1, calls
+    calls["n"] = 0
+    table.to_df()
+    assert calls["n"] == 1, calls
+
+
+def test_stats_harvest_never_fails_commit(spark, tmp_path):
+    """A footer pyarrow can't parse must not abort the commit — stats
+    are prune-only metadata whose absence is defined safe."""
+    bad = tmp_path / "junk.parquet"
+    bad.write_bytes(b"not a parquet file at all")
+    out = LakeTable._stats_of({0: str(bad)}, "seq")
+    assert out == {}

@@ -203,3 +203,23 @@ def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
     removed = t.vacuum()
     assert removed >= 0
     assert {r.v for r in t.to_df().collect()} == {"v2"}
+
+
+def test_compact_key_index_reharvests_blooms(spark, tmp_path):
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "cb"), num_buckets=2)
+    df = spark.createDataFrame(
+        [(k, k, "up", f"v{k}") for k in range(50)], "k long, seq long, op string, v string"
+    )
+    t.merge_upsert(
+        df, keys=["k"], order_by=["seq"], batch_id=0, op_col="op", key_index=True
+    )
+    assert t.current_manifest().get("key_blooms")
+    t.compact()  # default: full rewrite drops blooms (prune-only metadata)
+    assert not t.current_manifest().get("key_blooms")
+    t.compact(key_index=True)
+    assert t.current_manifest().get("key_blooms")
+    assert t.lookup({"k": 7}).count() == 1
+    assert t.last_lookup_stats["candidate_files"] <= 2
+    assert t.lookup({"k": 9999}).count() == 0

@@ -122,3 +122,47 @@ def test_rebucket_validation(spark, table):
     t_empty = LakeTable(spark, table.path + "-empty", num_buckets=4)
     with pytest.raises(ValueError, match="empty table"):
         t_empty.rebucket(8)
+
+
+def test_cow_rebase_guard_recomputes_after_racing_rebucket(spark, tmp_path):
+    """COW's bucket-conflict checks can pass VACUOUSLY (a commit that
+    consumed nothing conflicts with no file set) — the explicit
+    num_buckets drift guard must force the recompute instead."""
+    t1 = LakeTable(spark, str(tmp_path / "cowrace"), num_buckets=4)
+    up(t1, [(i, i, "up", f"v{i}") for i in range(50)], 0)
+    t2 = LakeTable(spark, t1.path, num_buckets=4)
+
+    real_publish = t2._publish
+    fired = {"n": 0}
+
+    def racing_publish(manifest):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t1.rebucket(16)
+        return real_publish(manifest)
+
+    t2._publish = racing_publish
+    up(t2, [(100, 7, "up", "raced"), (101, 300, "up", "new")], 1)  # plain COW
+    t2._publish = real_publish
+    # the commit recomputed under the new count: nothing reverted, no dups
+    m = t1.current_manifest()
+    assert int(m["num_buckets"]) == 16
+    live = t1.to_df(drop_deletes=True)
+    assert live.count() == 51
+    assert {r["val"] for r in live.filter("id = 7").collect()} == {"raced"}
+    assert t1.lookup({"id": 300}).count() == 1
+    t1.compact()
+    assert t1.to_df(drop_deletes=True).count() == 51
+
+
+def test_rebucket_key_index_reharvests_blooms(spark, table):
+    # default rebucket drops blooms (prune-only); key_index re-harvests
+    table.rebucket(16, key_index=True)
+    m = table.current_manifest()
+    assert m.get("key_blooms")
+    rows = table.lookup({"id": 3}).collect()
+    assert len(rows) == 1
+    st = table.last_lookup_stats
+    assert st["candidate_files"] <= 2  # blooms prune, not just bucket claims
+    # absent key: blooms typically prune to zero files
+    assert table.lookup({"id": 10_000}).count() == 0
