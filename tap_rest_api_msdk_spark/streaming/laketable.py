@@ -719,6 +719,7 @@ class LakeTable:
         version: Optional[int] = None,
         min_order: Optional[float] = None,
         manifest: Optional[dict] = None,
+        max_order: Optional[float] = None,
     ) -> Optional[DataFrame]:
         """Snapshot read (with ``__bucket`` column); optionally restricted
         to a set of buckets — only that subset's files are listed (bucket
@@ -728,11 +729,16 @@ class LakeTable:
         (valid until ``vacuum()`` reclaims its files).
 
         ``min_order`` skips files whose zone map proves every row's LWW
-        ordering value < min_order (``file_stats`` max bound). This is a
-        FILE prune, not a row filter — callers get a superset of matching
-        rows and must still filter; ``read_since`` wraps it with the
-        sound LWW-then-filter composition. Files without stats are never
-        skipped. Scan accounting in ``self.last_read_plan``.
+        ordering value < min_order (``file_stats`` max bound);
+        ``max_order`` symmetrically skips files whose MIN bound exceeds
+        it. These are FILE prunes, not row filters — callers get a
+        superset of matching rows and must still filter; ``read_since``/
+        ``read_range`` wrap them with the sound LWW-then-filter
+        composition (upper-bound pruning is only sound when every row is
+        already its key's winner — the CALLER must pass ``max_order``
+        only on a no-deltas snapshot; lower-bound pruning is always
+        sound). Files without stats are never skipped. Scan accounting
+        in ``self.last_read_plan``.
 
         ``manifest`` pins the snapshot to an already-assembled manifest
         (overrides ``version``): callers that also consult the manifest
@@ -752,7 +758,8 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
         want = None if buckets is None else {int(b) for b in buckets}
-        stats = m.get("file_stats", {}) if min_order is not None else {}
+        bounded = min_order is not None or max_order is not None
+        stats = m.get("file_stats", {}) if bounded else {}
         files: set[str] = set()
         pairs: list[tuple[str, int]] = []  # (file basename, bucket) ownership
         listed: set[str] = set()  # unique files pre-prune (accounting)
@@ -763,14 +770,18 @@ class LakeTable:
                         listed.add(f)
                         bn = os.path.basename(f)
                         st = stats.get(bn)
-                        if st is not None and st[1] < min_order:
-                            continue  # provably all rows below the bound
+                        if st is not None and (
+                            (min_order is not None and st[1] < min_order)
+                            or (max_order is not None and st[0] > max_order)
+                        ):
+                            continue  # provably no rows inside the bounds
                         files.add(f)
                         pairs.append((bn, int(b)))
         self.last_read_plan = {
             "files_total": len(listed),
             "files_scanned": len(files),
             "min_order": min_order,
+            "max_order": max_order,
         }
         if not files:
             return self.spark.createDataFrame([], stored)
@@ -803,6 +814,7 @@ class LakeTable:
         version: Optional[int] = None,
         min_order: Optional[float] = None,
         manifest: Optional[dict] = None,
+        max_order: Optional[float] = None,
     ) -> Optional[DataFrame]:
         """Resolved state: LWW over base ∪ delta rows (time-travelable).
 
@@ -826,7 +838,7 @@ class LakeTable:
         m = manifest
         if m is None:
             return None
-        df = self.read(buckets, min_order=min_order, manifest=m)
+        df = self.read(buckets, min_order=min_order, manifest=m, max_order=max_order)
         if not m.get("deltas"):
             return df
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
@@ -863,6 +875,36 @@ class LakeTable:
         files. Scan accounting in ``self.last_read_plan``."""
         return self.to_df(
             drop_deletes=drop_deletes, version=version, min_order=min_order
+        )
+
+    def read_range(
+        self,
+        min_order,
+        max_order,
+        drop_deletes: bool = True,
+        version: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Zone-map-pruned range read: exactly
+        ``to_df(...).filter(lo <= order_col <= hi)`` but skipping files
+        whose ``file_stats`` zone map proves no row can fall inside the
+        bounds. The backfill/audit read — "events from March" on a
+        100 TB table should touch March's files, not the table.
+
+        Lower-bound pruning is sound under pending deltas for the same
+        LWW-winner argument as ``read_since``. Upper-bound FILE pruning
+        is only sound when every stored row is already its key's winner
+        (a resolved, no-deltas snapshot): otherwise a stale version
+        inside the bounds could survive while its true winner (above
+        ``max_order``, in a pruned file) never reaches the LWW resolve —
+        resurrecting the key. ``to_df`` therefore engages the upper
+        bound as a file prune only on delta-free manifests and degrades
+        it to a residual row filter otherwise; results are identical
+        either way. Scan accounting in ``self.last_read_plan``."""
+        return self.to_df(
+            drop_deletes=drop_deletes,
+            version=version,
+            min_order=min_order,
+            max_order=max_order,
         )
 
     def changes_since(self, version) -> Optional[DataFrame]:
@@ -3112,27 +3154,39 @@ class LakeTable:
         drop_deletes: bool = True,
         version: Optional[int] = None,
         min_order: Optional[float] = None,
+        max_order: Optional[float] = None,
     ) -> Optional[DataFrame]:
         """State of the table (MOR deltas resolved, tombstones filtered by
         default; ``version`` time-travels — an int version or a TAG name).
 
-        ``min_order`` restricts the result to rows whose current version
-        has LWW ordering value >= the bound, zone-map-pruning the file
-        listing first (``read_since`` is the documented entry point; see
-        its docstring for the soundness argument). The ONE manifest load
-        here drives the listing, the dedup decision, the residual filter
-        and the tombstone filter — a racing commit can't tear them
-        apart."""
+        ``min_order``/``max_order`` restrict the result to rows whose
+        current version has LWW ordering value inside the bounds,
+        zone-map-pruning the file listing first (``read_since`` /
+        ``read_range`` are the documented entry points; see their
+        docstrings for the soundness arguments). Upper-bound FILE pruning
+        only engages on a no-deltas snapshot — with pending deltas an
+        old version of a key could sit inside the bounds while its true
+        winner (above them) gets pruned away and resurrect the key, so
+        the upper bound then applies as a residual row filter only. The
+        ONE manifest load here drives the listing, the dedup decision,
+        the residual filters and the tombstone filter — a racing commit
+        can't tear them apart."""
         version = self.resolve_version(version) if version is not None else None
         m = self.manifest_at(version) if version is not None else self.current_manifest()
         if m is None:
             return None
-        if min_order is not None and not m.get("order_by"):
-            raise ValueError("min_order needs a table with an order_by column")
-        df = self.read_state(min_order=min_order, manifest=m)
+        if (min_order is not None or max_order is not None) and not m.get("order_by"):
+            raise ValueError("order bounds need a table with an order_by column")
+        df = self.read_state(
+            min_order=min_order,
+            manifest=m,
+            max_order=max_order if not m.get("deltas") else None,
+        )
         df = df.drop("__bucket")
         if min_order is not None:
             df = df.filter(F.col(m["order_by"][0]) >= F.lit(min_order))
+        if max_order is not None:
+            df = df.filter(F.col(m["order_by"][0]) <= F.lit(max_order))
         op_col = m.get("op_col")
         if drop_deletes and op_col and op_col in df.columns:
             # NULL-safe: a row whose op is null (e.g. null-filled by schema

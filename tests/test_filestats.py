@@ -161,6 +161,102 @@ def test_single_manifest_load_per_read(spark, table, monkeypatch):
     assert calls["n"] == 1, calls
 
 
+def reference_range(t, lo, hi, drop_deletes=True):
+    return snap(
+        t.to_df(drop_deletes=drop_deletes).filter(
+            (F.col("seq") >= lo) & (F.col("seq") <= hi)
+        )
+    )
+
+
+def test_read_range_equals_filtered_snapshot(spark, table):
+    for lo, hi in ((-10, 10_000), (0, 50), (50, 140), (100, 151), (200, 100)):
+        assert snap(table.read_range(lo, hi)) == reference_range(table, lo, hi), (lo, hi)
+
+
+def test_read_range_no_stale_resurrection_under_deltas(spark, table):
+    """Key 3's ORIGINAL version (seq 3) is inside [0, 100]; its LWW
+    winner (seq 150, a pending MOR delta) is above. The range read must
+    exclude key 3 — and because deltas are pending, the upper bound must
+    have applied as a residual filter only (no file prune)."""
+    assert table.current_manifest().get("deltas")
+    rows = {r["id"] for r in table.read_range(0, 100).collect()}
+    assert 3 not in rows
+    assert table.last_read_plan["max_order"] is None  # prune disengaged
+    assert table.last_read_plan["min_order"] == 0
+
+
+def test_read_range_engages_prune_on_resolved_snapshot(spark, table):
+    """After compaction (delta-free manifest) the upper bound ENGAGES as
+    a file prune (plan records it); the fixture's compacted per-bucket
+    files span the whole seq range so nothing is skippable here —
+    skipping is exercised on a time-disjoint layout below."""
+    table.compact()
+    assert not table.current_manifest().get("deltas")
+    got = snap(table.read_range(100, 130))
+    plan = table.last_read_plan
+    assert got == reference_range(table, 100, 130)
+    assert plan["max_order"] == 130  # prune engaged
+    # winner-above-bound key still excluded on the resolved path
+    assert 3 not in {r["id"] for r in table.read_range(0, 100).collect()}
+    # full-range window matches the plain snapshot
+    assert snap(table.read_range(-1, 10_000)) == snap(table.to_df())
+
+
+def test_read_range_skips_time_disjoint_files(spark, tmp_path):
+    """Append-mostly shape: two COW batches of brand-new keys landing in
+    DISJOINT buckets — a commit never rewrites a bucket it doesn't
+    touch, so the table ends delta-free with seq-disjoint base files.
+    A window over either era must scan only that era's files."""
+    rows = spark.range(2000).select(
+        "id",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(2)).cast("int").alias("b"),
+    ).collect()
+    era_a = [r["id"] for r in rows if r["b"] == 0][:8]
+    era_b = [r["id"] for r in rows if r["b"] == 1][:8]
+    assert len(era_a) == 8 and len(era_b) == 8
+    t = LakeTable(spark, str(tmp_path / "eras"), num_buckets=2)
+    up(t, [(i, k, "up", f"a{i}") for i, k in enumerate(era_a)], 0)  # seq 0..7
+    up(t, [(100 + i, k, "up", f"b{i}") for i, k in enumerate(era_b)], 1)
+    m = t.current_manifest()
+    assert not m.get("deltas")
+    all_files = {f for fl in m["files"].values() for f in fl}
+    per_epoch = {}  # epoch dir -> file count
+    for f in all_files:
+        per_epoch.setdefault(f.rsplit("/", 2)[-2], set()).add(f)
+    assert len(per_epoch) == 2  # era A's files survived era B's commit
+    era_sizes = sorted(len(v) for v in per_epoch.values())
+    for lo, hi, want_seqs in ((0, 7, set(range(8))), (100, 107, set(range(100, 108)))):
+        got = snap(t.read_range(lo, hi))
+        plan = t.last_read_plan
+        assert got == reference_range(t, lo, hi), (lo, hi)
+        assert plan["files_total"] == len(all_files)
+        # only the matching era's files are scanned — the other era's
+        # zone maps prove it disjoint from the window
+        assert 0 < plan["files_scanned"] <= max(era_sizes), plan
+        assert plan["min_order"] == lo and plan["max_order"] == hi
+        assert {seq for _, seq, _ in got} == want_seqs
+
+
+def test_read_range_requires_order_by(spark, tmp_path, monkeypatch):
+    """A legacy manifest without ``order_by`` must reject order-bounded
+    reads loudly rather than silently returning everything."""
+    t = LakeTable(spark, str(tmp_path / "noorder"), num_buckets=2)
+    up(t, [(1, 1, "up", "a")], 0)
+    real = LakeTable.current_manifest
+
+    def stripped(self):
+        m = dict(real(self))
+        m.pop("order_by", None)
+        return m
+
+    monkeypatch.setattr(LakeTable, "current_manifest", stripped)
+    with pytest.raises(ValueError, match="order"):
+        t.read_range(0, 10)
+    with pytest.raises(ValueError, match="order"):
+        t.read_since(0)
+
+
 def test_stats_harvest_never_fails_commit(spark, tmp_path):
     """A footer pyarrow can't parse must not abort the commit — stats
     are prune-only metadata whose absence is defined safe."""
