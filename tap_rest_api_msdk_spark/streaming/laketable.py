@@ -2794,6 +2794,175 @@ class LakeTable:
             return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}
 
+    def compact_buckets(
+        self,
+        buckets: Optional[Sequence[int]] = None,
+        small_file_bytes: int = 32 << 20,
+        min_input_files: int = 4,
+        tombstone_watermark: Optional[int] = None,
+        key_index: bool = False,
+    ) -> dict:
+        """Incremental small-file compaction (Iceberg binpack analog):
+        rewrite ONLY the buckets whose small-file count warrants it,
+        never the table. At 100 TB ``compact()``'s full rewrite is not a
+        maintenance option — granular COW and folds leave a trail of
+        per-commit files, and this reclaims them bucket by bucket with
+        cost proportional to the buckets actually fragmented.
+
+        Selection: a bucket is due when >= ``min_input_files`` of its
+        live files (base + pending deltas) are each under
+        ``small_file_bytes`` (sizes from the manifest's ``file_bytes``;
+        files with unknown size — legacy commits — never count toward
+        the threshold but ARE consumed when their bucket is rewritten).
+        ``buckets`` overrides selection entirely.
+
+        Runs as MAINTENANCE like ``fold_due``: per-writer ledger
+        untouched (CDC-invisible — the commit walk skips it), claims are
+        bucket-level, and a racer's commit to a due bucket forces a
+        recompute while commits to other buckets merely rebase. A
+        racer's delta appended to a due bucket mid-rewrite stays
+        pending (LWW re-applies it at read). ``tombstone_watermark``
+        purges delete tombstones with replication key <= the watermark
+        from the rewritten buckets (same contract as ``compact``)."""
+        for _attempt in range(3):
+            out = self._compact_buckets_once(
+                buckets, small_file_bytes, min_input_files,
+                tombstone_watermark, key_index,
+            )
+            if out is not None:
+                return out
+        return {"skipped": True, "reason": "commit contention (3 attempts)"}
+
+    def _compact_buckets_once(
+        self,
+        buckets: Optional[Sequence[int]],
+        small_file_bytes: int,
+        min_input_files: int,
+        tombstone_watermark: Optional[int],
+        key_index: bool,
+    ) -> Optional[dict]:
+        m = self.current_manifest()
+        if m is None:
+            return {"skipped": True, "reason": "empty table"}
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
+        t0 = time.time()
+        sizes = m.get("file_bytes", {})
+        consumed: dict[str, tuple[list, list]] = {}  # b -> (base, deltas)
+        for b_str in sorted(
+            set(m.get("files", {})) | set(m.get("deltas", {})), key=int
+        ):
+            base = list(m.get("files", {}).get(b_str, []))
+            dl = list(m.get("deltas", {}).get(b_str, []))
+            if not base and not dl:
+                continue
+            if buckets is not None:
+                if int(b_str) in {int(b) for b in buckets}:
+                    consumed[b_str] = (base, dl)
+                continue
+            n_small = sum(
+                1
+                for f in base + dl
+                if sizes.get(os.path.basename(f), small_file_bytes)
+                < small_file_bytes
+            )
+            if n_small >= max(1, min_input_files):
+                consumed[b_str] = (base, dl)
+        if not consumed:
+            return {"skipped": True, "reason": "no bucket over the small-file threshold"}
+
+        due = sorted(int(b) for b in consumed)
+        df = self.read_state(buckets=due, manifest=m)
+        op_col = m.get("op_col")
+        rk = (m.get("order_by") or [None])[0]
+        if op_col and tombstone_watermark is not None and rk:
+            df = df.filter(
+                ~((F.col(op_col) == "delete") & (F.col(rk) <= F.lit(tombstone_watermark)))
+            )
+        epoch = m["version"] + 1
+        out_dir = os.path.join(
+            self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        S_w = self._fpb(len(due))
+        k_parts = max(1, len(due) * S_w)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S_w)
+        ).cast("int")
+        (
+            df.withColumn("__salt", salt)
+            .repartition(k_parts, "__bucket", "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        by_index: dict[int, str] = {}
+        for fname in os.listdir(out_dir):
+            if fname.endswith(".parquet") and fname.startswith("part-"):
+                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
+        new_sizes = self._sizes_of(by_index)
+        new_stats = self._stats_of(by_index, rk)
+        new_blooms = (
+            self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
+            if key_index
+            else None
+        )
+        # full-bucket rewrite: the new files legitimately claim every
+        # residue the job computed for them (no partial-granule caveat)
+        new_files, new_meta = self._files_and_meta(due, S_w, k_parts, by_index)
+        files_in = len({f for b_, d_ in consumed.values() for f in b_ + d_})
+
+        def assemble(cur: Optional[dict]) -> Optional[dict]:
+            if cur is None:
+                return None
+            if cur is not m:
+                # output embodies LWW(base ∪ deltas) as of m per due
+                # bucket: valid iff each due bucket's base is unchanged
+                # and its consumed deltas are all still pending
+                for b_str, (base_sel, delta_sel) in consumed.items():
+                    if cur.get("files", {}).get(b_str, []) != base_sel:
+                        return None
+                    if not set(delta_sel) <= set(cur.get("deltas", {}).get(b_str, [])):
+                        return None
+            files = dict(cur["files"])
+            deltas = dict(cur.get("deltas", {}))
+            slice_meta = dict(cur.get("slice_meta", {}))
+            for b_str, (base_sel, delta_sel) in consumed.items():
+                files[b_str] = new_files[b_str]
+                left = [f for f in deltas.get(b_str, []) if f not in set(delta_sel)]
+                if left:
+                    deltas[b_str] = left
+                else:
+                    deltas.pop(b_str, None)
+                keep = {os.path.basename(f) for f in left}
+                bmeta = {
+                    bn: v
+                    for bn, v in slice_meta.get(b_str, {}).items()
+                    if bn in keep
+                }
+                slice_meta[b_str] = {**bmeta, **new_meta[b_str]}
+            return self._with_file_index({
+                **{k_: v for k_, v in cur.items() if k_ != "version"},
+                "files": files,
+                "deltas": deltas,
+                "slice_meta": slice_meta,
+                "committed_at": time.time(),
+            }, new_sizes, new_blooms=new_blooms, new_stats=new_stats)
+
+        committed = self._try_commit(m, assemble)
+        if committed is None:
+            return None
+        return {
+            "skipped": False,
+            "version": committed["version"],
+            "compacted_buckets": len(due),
+            "files_in": files_in,
+            # referenced files only: a zero-row partition's file is never
+            # claimed by any (bucket, residue) and stays dead on disk
+            # until vacuum
+            "files_out": len({f for fl in new_files.values() for f in fl}),
+            "seconds": time.time() - t0,
+        }
+
     def rebucket(self, new_num_buckets: int, key_index: bool = False) -> dict:
         """Online bucket-count evolution (the hash-bucket analog of
         Iceberg partition evolution): rewrite the full resolved state —

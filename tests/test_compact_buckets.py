@@ -1,0 +1,193 @@
+"""Incremental small-file compaction (``compact_buckets``): binpack
+fragmented buckets one by one — never the table — as a CDC-invisible
+maintenance commit. Results must be byte-identical to the uncompacted
+snapshot; untouched buckets' files must be left physically alone.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+SCHEMA = "seq long, id long, op string, val string"
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def up(t, rows, bid, **kw):
+    return t.merge_upsert(
+        mk(t.spark, rows), keys=["id"], order_by=["seq"], batch_id=bid,
+        op_col="op", **kw
+    )
+
+
+def snap(t, **kw):
+    return sorted((r["id"], r["seq"], r["val"]) for r in t.to_df(**kw).collect())
+
+
+def live_files(m):
+    return {
+        b: (list(m.get("files", {}).get(b, [])), list(m.get("deltas", {}).get(b, [])))
+        for b in set(m.get("files", {})) | set(m.get("deltas", {}))
+    }
+
+
+def n_unique_files(m):
+    return len({f for b, d in live_files(m).values() for f in b + d})
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Fragmented history: a COW base plus five small MOR deltas and a
+    late tombstone — every bucket accumulates a pile of small files."""
+    t = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    up(t, [(i, i, "up", f"v{i}") for i in range(200)], 0)
+    for b in range(1, 6):
+        up(t, [(1000 * b + i, i * 7 % 200, "up", f"m{b}.{i}") for i in range(30)],
+           b, mode="mor")
+    up(t, [(9000, 13, "delete", None)], 6, mode="mor")
+    return t
+
+
+def test_compaction_preserves_state_and_consumes_files(spark, table):
+    before = snap(table)
+    before_all = snap(table, drop_deletes=False)
+    m0 = table.current_manifest()
+    files_before = n_unique_files(m0)
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    assert not out.get("skipped"), out
+    assert out["compacted_buckets"] == 4
+    assert out["files_in"] == files_before
+    m1 = table.current_manifest()
+    assert m1["version"] == m0["version"] + 1
+    assert not m1.get("deltas")  # all pending deltas consumed
+    assert n_unique_files(m1) == out["files_out"] < files_before
+    assert snap(table) == before
+    assert snap(table, drop_deletes=False) == before_all  # tombstone kept
+
+
+def test_explicit_buckets_leave_others_physically_alone(spark, table):
+    before = snap(table)
+    m0 = table.current_manifest()
+    out = table.compact_buckets(buckets=[0])
+    assert not out.get("skipped") and out["compacted_buckets"] == 1
+    m1 = table.current_manifest()
+    f0, f1 = live_files(m0), live_files(m1)
+    assert f1["0"][0] != f0["0"][0] and not f1["0"][1]  # rewritten, deltas gone
+    for b in ("1", "2", "3"):
+        assert f1[b] == f0[b], b  # same paths, untouched
+    assert snap(table) == before
+
+
+def test_threshold_selection(spark, tmp_path):
+    """Only buckets with >= min_input_files small files are selected;
+    a freshly consolidated table has nothing due."""
+    t = LakeTable(spark, str(tmp_path / "sel"), num_buckets=2)
+    up(t, [(i, i, "up", f"v{i}") for i in range(100)], 0)
+    t.compact()  # one file per (bucket, slice): consolidated
+    out = t.compact_buckets(small_file_bytes=1, min_input_files=2)
+    assert out.get("skipped"), out  # nothing under 1 byte
+    for b in range(1, 4):
+        up(t, [(100 * b, 50 + b, "up", f"x{b}")], b, mode="mor")
+    out = t.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    assert not out.get("skipped")
+    assert not t.current_manifest().get("deltas")
+
+
+def test_maintenance_is_cdc_invisible(spark, table):
+    v = table.current_manifest()["version"]
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    assert not out.get("skipped")
+    diff = table.cdc_diff(v)
+    assert diff is not None and diff.count() == 0
+    assert table.changes_since(v).count() == 0
+
+
+def test_tombstone_watermark_purges(spark, table):
+    assert (13, 9000, None) in [
+        (r["id"], r["seq"], r["val"])
+        for r in table.to_df(drop_deletes=False).collect()
+    ]
+    out = table.compact_buckets(
+        small_file_bytes=32 << 20, min_input_files=1, tombstone_watermark=9000
+    )
+    assert not out.get("skipped")
+    ids_all = {r["id"] for r in table.to_df(drop_deletes=False).collect()}
+    assert 13 not in ids_all  # tombstone physically purged
+    assert 13 not in {r["id"] for r in table.to_df().collect()}
+
+
+def test_file_index_maintained(spark, table):
+    """file_bytes / file_stats / key blooms stay consistent with the live
+    file set, and pruned reads + lookups still work after compaction."""
+    out = table.compact_buckets(
+        small_file_bytes=32 << 20, min_input_files=2, key_index=True
+    )
+    assert not out.get("skipped")
+    m = table.current_manifest()
+    live = {
+        os.path.basename(f)
+        for b, d in live_files(m).values()
+        for f in b + d
+    }
+    assert set(m.get("file_bytes", {})) <= live
+    assert set(m.get("file_stats", {})) <= live and m.get("file_stats")
+    assert set(m.get("key_blooms", {})) <= live and m.get("key_blooms")
+    # zone-map read still exact
+    want = sorted(
+        (r["id"], r["seq"]) for r in
+        table.to_df().filter(F.col("seq") >= 5000).collect()
+    )
+    assert sorted((r["id"], r["seq"]) for r in table.read_since(5000).collect()) == want
+    # bloom-pruned point lookup still resolves
+    hit = table.lookup({"id": 5})
+    assert [r["id"] for r in hit.collect()] == [5]
+
+
+def test_racing_commit_to_compacted_bucket_recomputes(spark, table, tmp_path):
+    """A racer's COW commit landing on a due bucket between read and
+    publish invalidates the compaction (recompute); the final state must
+    include the racer's rows exactly once."""
+    racer = LakeTable(spark, table.path, num_buckets=4)
+    real_publish = table._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            up(racer, [(10_000, 42, "up", "raced")], 7)
+        return real_publish(manifest)
+
+    table._publish = racing_publish
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    table._publish = real_publish
+    assert not out.get("skipped")
+    got = {r["id"]: (r["seq"], r["val"]) for r in table.to_df().collect()}
+    assert got[42] == (10_000, "raced")
+    # and the compaction actually landed (post-racer version)
+    assert table.current_manifest()["version"] == out["version"]
+
+
+def test_racing_delta_stays_pending(spark, table):
+    """A racer's MOR delta appended to a due bucket mid-compaction is NOT
+    consumed: it stays pending and LWW re-applies it at read."""
+    racer = LakeTable(spark, table.path, num_buckets=4)
+    real_publish = table._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            up(racer, [(11_000, 99, "up", "delta-raced")], 7, mode="mor")
+        return real_publish(manifest)
+
+    table._publish = racing_publish
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    table._publish = real_publish
+    assert not out.get("skipped")
+    got = {r["id"]: (r["seq"], r["val"]) for r in table.to_df().collect()}
+    assert got[99] == (11_000, "delta-raced")
