@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": Q.q_pii_scrub,
         "dedup_survivors_quality": Q.q_dedup_survivors_quality,
         "corpus_final_filter": Q.q_corpus_final_filter,
+        "bm25_search": Q.q_bm25_search,
+        "chunk_windows": Q.q_chunk_windows,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -624,6 +626,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(n_bigrams as bigint) as n_bigrams,
                    floor(s4 / n_bigrams) / 10000 as mean_bigram_logprob
             from scored
+        """,
+        # BM25 retrieval over a fixed 3-term query (k1=1.25, b=0.75 —
+        # exactly-representable constants; identical association order to
+        # the Spark expression; per-(doc, term) partials floor-quantized
+        # at the coarse 1e4 before the order-free integer sum)
+        "bm25_search": f"""
+            with tok as (
+                select doc_id, unnest({_WS_TOKENS}) as tk from documents
+            ), lens as (
+                select doc_id, len({_WS_TOKENS}) as dl from documents
+            ), totals as (
+                select cast(sum(dl) as double) / cast(count(*) as double) as avgdl,
+                       cast(count(*) as double) as n
+                from lens
+            ), qt as (
+                select doc_id, tk, count(*) as tf from tok
+                where tk in ('join', 'shuffle', 'vector')
+                group by doc_id, tk
+            ), df_ as (
+                select tk, count(distinct doc_id) as df from tok
+                where tk in ('join', 'shuffle', 'vector')
+                group by tk
+            ), scored as (
+                select q.doc_id,
+                       cast(sum(cast(floor(
+                           ln((totals.n - df_.df + 0.5) / (df_.df + 0.5) + 1.0)
+                           * (q.tf * 2.25)
+                           / (q.tf + 1.25 * (0.25 + 0.75 * (lens.dl / totals.avgdl)))
+                           * 10000) as bigint)) as bigint) as score_q
+                from qt q
+                join df_ using (tk)
+                join lens on q.doc_id = lens.doc_id
+                cross join totals
+                group by q.doc_id
+            )
+            select doc_id, score_q,
+                   cast(row_number() over (order by score_q desc, doc_id asc)
+                        as bigint) as rank
+            from scored
+            order by score_q desc, doc_id asc
+            limit 20
+        """,
+        # RAG chunking: overlapping token windows (size 32, stride 24);
+        # pure integer/string ops, list slicing clamps in both engines
+        "chunk_windows": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as w from documents
+            )
+            select doc_id,
+                   cast(s.s / 24 as bigint) as chunk_id,
+                   cast(len(w[s.s + 1 : s.s + 32]) as bigint) as n_chunk_tokens,
+                   array_to_string(w[s.s + 1 : s.s + 32], ' ') as chunk_text
+            from tok, unnest(range(0, len(w), 24)) as s(s)
+            where len(w) > 0
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)

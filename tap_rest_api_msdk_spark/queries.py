@@ -1511,3 +1511,85 @@ def q_text_bigram_logprob(spark, sf_dir):
             "mean_bigram_logprob"
         ),
     )
+
+
+BM25_TERMS = ["join", "shuffle", "vector"]  # shared with the oracle SQL
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval (Robertson/Sparck-Jones; the Okapi ranking ES/Lucene
+    uses): score every document against a fixed bag-of-terms query and
+    return the top 20. Complements tfidf_topterms (per-doc keywords)
+    with the corpus-level SEARCH direction.
+
+    Scale shape: the token explode is filtered to the QUERY TERMS before
+    any aggregation (per-doc tf rows <= |terms| * matching docs), doc
+    length comes from a doc-level size(tokens) projection (no second
+    explode), the 3-row df table is a broadcast join, and the top-k is
+    a TakeOrdered (sort-limit), never a global sort. Constants k1=1.25,
+    b=0.75 are exactly representable doubles; every +,*,/ is IEEE
+    correctly-rounded and written in the same association order as the
+    oracle SQL; ln is the one transcendental, so per-(doc, term) partial
+    scores are floor-quantized at the COARSE 1e4 BEFORE the (order-free)
+    integer sum — the same cross-engine determinism treatment as
+    text_unigram_surprisal."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = TX.ws_tokens(F.col("text"))
+    lens = docs.select("doc_id", F.size(tokens).alias("dl"))
+    totals = lens.agg(
+        F.sum("dl").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_docs = int(totals["n"])
+    avgdl = float(totals["tot"]) / float(n_docs)  # int/int: exact-rounded
+    tok = docs.select("doc_id", F.explode(tokens).alias("tk")).filter(
+        F.col("tk").isin(BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.select("doc_id", "tk").distinct().groupBy("tk").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    part = (
+        idf
+        * (F.col("tf") * 2.25)
+        / (F.col("tf") + 1.25 * (0.25 + 0.75 * (F.col("dl") / F.lit(avgdl))))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tk")
+        .join(lens, "doc_id")
+        .select("doc_id", F.floor(part * 1e4).cast("long").alias("p4"))
+        .groupBy("doc_id")
+        .agg(F.sum("p4").alias("score_q"))
+    )
+    top = scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()).limit(20)
+    # rank over 20 rows: the single-partition window is bounded by k
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_chunk_windows(spark, sf_dir):
+    """RAG-style chunking: split every document into overlapping token
+    windows (size 32, stride 24 — 8-token overlap), the retrieval-index
+    preprocessing step between raw corpus and embedding.
+
+    Scale shape: ONE scan, ZERO joins, ZERO shuffles — chunk starts are
+    a sequence() built per row and exploded with the token array carried
+    in the same projection; slice() is evaluated per chunk without the
+    text ever leaving its row (the substring_dup_rate lesson). Pure
+    integer/string ops — no float, no transcendental."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = TX.ws_tokens(F.col("text"))
+    base = docs.select("doc_id", tokens.alias("tks")).filter(F.size("tks") > 0)
+    starts = F.sequence(F.lit(0), F.size("tks") - 1, F.lit(24))
+    chunks = base.select(
+        "doc_id", "tks", F.explode(starts).alias("s")
+    )
+    piece = F.slice(F.col("tks"), F.col("s") + 1, 32)
+    return chunks.select(
+        "doc_id",
+        (F.col("s") / 24).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
