@@ -2741,28 +2741,41 @@ class LakeTable:
                 return out
         return {"skipped": True, "reason": "commit contention (3 attempts)"}
 
-    def _compact_once(
-        self, tombstone_watermark: Optional[int] = None, key_index: bool = False
-    ) -> Optional[dict]:
-        m = self.current_manifest()
-        if m is None:
-            return {"skipped": True, "reason": "empty table"}
-        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
-            self.num_buckets = int(m["num_buckets"])
-        df = self.read_state()  # resolves MOR deltas before rewriting
+    @staticmethod
+    def _purge_tombstones(df, m: dict, tombstone_watermark: Optional[int]):
+        """Drop delete tombstones with replication key <= the watermark.
+        NULL-safe on BOTH operands: a row whose op is null (e.g.
+        null-filled by schema alignment) is LIVE and a tombstone with a
+        null ordering key has no provable position vs the watermark — a
+        bare ``~(a & b)`` evaluates NULL for either and filter() would
+        silently drop the row from the rewritten base."""
         op_col = m.get("op_col")
         rk = (m.get("order_by") or [None])[0]
-        if op_col and tombstone_watermark is not None and rk:
-            df = df.filter(
-                ~((F.col(op_col) == "delete") & (F.col(rk) <= F.lit(tombstone_watermark)))
-            )
-        epoch = m["version"] + 1
+        if not (op_col and tombstone_watermark is not None and rk):
+            return df
+        purge = (
+            F.col(op_col).isNotNull()
+            & (F.col(op_col) == "delete")
+            & F.col(rk).isNotNull()
+            & (F.col(rk) <= F.lit(tombstone_watermark))
+        )
+        return df.filter(~purge)
+
+    def _rewrite_job(self, df, affected: Sequence[int], epoch: int, m: dict,
+                     key_index: bool):
+        """One bucket-space rewrite job: salt, repartition, write a fresh
+        epoch dir, index the part files, harvest sizes/zone-stats (+ key
+        blooms when asked) and derive the per-bucket file/slice claims.
+        Shared by full compaction and bucket-granular compaction — the
+        two differ only in WHICH buckets they rewrite."""
         # unique per write job: concurrent writers must never share a
         # physical directory (mode="overwrite" would eat each other's
         # files); the manifest, not the dir name, defines the snapshot
-        out_dir = os.path.join(self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}")
-        S = self._fpb(self.num_buckets)
-        k_parts = max(1, self.num_buckets * S)
+        out_dir = os.path.join(
+            self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        S = self._fpb(len(affected))
+        k_parts = max(1, len(affected) * S)
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
         ).cast("int")
@@ -2777,19 +2790,36 @@ class LakeTable:
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
-        files, slice_meta = self._files_and_meta(
-            range(self.num_buckets), S, k_parts, by_index
+        new_files, new_meta = self._files_and_meta(affected, S, k_parts, by_index)
+        new_sizes = self._sizes_of(by_index)
+        new_stats = self._stats_of(by_index, (m.get("order_by") or [None])[0])
+        new_blooms = (
+            self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
+            if key_index
+            else None
+        )
+        return by_index, new_files, new_meta, new_sizes, new_stats, new_blooms
+
+    def _compact_once(
+        self, tombstone_watermark: Optional[int] = None, key_index: bool = False
+    ) -> Optional[dict]:
+        m = self.current_manifest()
+        if m is None:
+            return {"skipped": True, "reason": "empty table"}
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
+        df = self.read_state()  # resolves MOR deltas before rewriting
+        df = self._purge_tombstones(df, m, tombstone_watermark)
+        epoch = m["version"] + 1
+        by_index, files, slice_meta, new_sizes, new_stats, new_blooms = (
+            self._rewrite_job(
+                df, list(range(self.num_buckets)), epoch, m, key_index
+            )
         )
         manifest = self._with_file_index({
             **m, "version": epoch, "files": files, "deltas": {},
             "slice_meta": slice_meta, "committed_at": time.time(),
-        }, self._sizes_of(by_index),
-            new_blooms=(
-                self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
-                if key_index
-                else None
-            ),
-            new_stats=self._stats_of(by_index, (m.get("order_by") or [None])[0]))
+        }, new_sizes, new_blooms=new_blooms, new_stats=new_stats)
         if not self._publish(manifest):
             return None  # concurrent commit: the compacted state is stale
         return {"skipped": False, "version": epoch, "files": len(by_index)}
@@ -2848,6 +2878,7 @@ class LakeTable:
             self.num_buckets = int(m["num_buckets"])
         t0 = time.time()
         sizes = m.get("file_bytes", {})
+        wanted = None if buckets is None else {int(b) for b in buckets}
         consumed: dict[str, tuple[list, list]] = {}  # b -> (base, deltas)
         for b_str in sorted(
             set(m.get("files", {})) | set(m.get("deltas", {})), key=int
@@ -2856,8 +2887,8 @@ class LakeTable:
             dl = list(m.get("deltas", {}).get(b_str, []))
             if not base and not dl:
                 continue
-            if buckets is not None:
-                if int(b_str) in {int(b) for b in buckets}:
+            if wanted is not None:
+                if int(b_str) in wanted:
                     consumed[b_str] = (base, dl)
                 continue
             n_small = sum(
@@ -2873,42 +2904,13 @@ class LakeTable:
 
         due = sorted(int(b) for b in consumed)
         df = self.read_state(buckets=due, manifest=m)
-        op_col = m.get("op_col")
-        rk = (m.get("order_by") or [None])[0]
-        if op_col and tombstone_watermark is not None and rk:
-            df = df.filter(
-                ~((F.col(op_col) == "delete") & (F.col(rk) <= F.lit(tombstone_watermark)))
-            )
+        df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
-        out_dir = os.path.join(
-            self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
-        )
-        S_w = self._fpb(len(due))
-        k_parts = max(1, len(due) * S_w)
-        salt = F.pmod(
-            F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S_w)
-        ).cast("int")
-        (
-            df.withColumn("__salt", salt)
-            .repartition(k_parts, "__bucket", "__salt")
-            .drop("__salt")
-            .write.mode("overwrite")
-            .parquet(out_dir)
-        )
-        by_index: dict[int, str] = {}
-        for fname in os.listdir(out_dir):
-            if fname.endswith(".parquet") and fname.startswith("part-"):
-                by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
-        new_sizes = self._sizes_of(by_index)
-        new_stats = self._stats_of(by_index, rk)
-        new_blooms = (
-            self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
-            if key_index
-            else None
-        )
         # full-bucket rewrite: the new files legitimately claim every
         # residue the job computed for them (no partial-granule caveat)
-        new_files, new_meta = self._files_and_meta(due, S_w, k_parts, by_index)
+        _by_index, new_files, new_meta, new_sizes, new_stats, new_blooms = (
+            self._rewrite_job(df, due, epoch, m, key_index)
+        )
         files_in = len({f for b_, d_ in consumed.values() for f in b_ + d_})
 
         def assemble(cur: Optional[dict]) -> Optional[dict]:
@@ -2928,7 +2930,8 @@ class LakeTable:
             slice_meta = dict(cur.get("slice_meta", {}))
             for b_str, (base_sel, delta_sel) in consumed.items():
                 files[b_str] = new_files[b_str]
-                left = [f for f in deltas.get(b_str, []) if f not in set(delta_sel)]
+                sel = set(delta_sel)
+                left = [f for f in deltas.get(b_str, []) if f not in sel]
                 if left:
                     deltas[b_str] = left
                 else:

@@ -121,6 +121,29 @@ def test_tombstone_watermark_purges(spark, table):
     assert 13 not in {r["id"] for r in table.to_df().collect()}
 
 
+def test_null_op_rows_survive_watermarked_purge(spark, tmp_path):
+    """A row whose op column is NULL (e.g. null-filled by schema
+    alignment) is LIVE — the tombstone purge predicate must be
+    NULL-safe on both paths, or ~(NULL & x) = NULL silently drops it
+    from the rewritten base."""
+    for compactor in ("buckets", "full"):
+        t = LakeTable(spark, str(tmp_path / f"nullop-{compactor}"), num_buckets=2)
+        up(t, [(1, 1, None, "live-null-op"), (2, 2, "up", "live"),
+               (3, 3, "delete", None)], 0)
+        if compactor == "buckets":
+            out = t.compact_buckets(
+                small_file_bytes=32 << 20, min_input_files=1,
+                tombstone_watermark=100,
+            )
+        else:
+            out = t.compact(tombstone_watermark=100)
+        assert not out.get("skipped")
+        got = {r["id"]: r["val"] for r in t.to_df().collect()}
+        assert got == {1: "live-null-op", 2: "live"}, (compactor, got)
+        # the covered tombstone WAS purged
+        assert 3 not in {r["id"] for r in t.to_df(drop_deletes=False).collect()}
+
+
 def test_file_index_maintained(spark, table):
     """file_bytes / file_stats / key blooms stay consistent with the live
     file set, and pruned reads + lookups still work after compaction."""
