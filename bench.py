@@ -336,6 +336,25 @@ def main() -> None:
             steady["read_since_speedup_vs_fullscan"] = (
                 round(t_full / t_since, 2) if t_since > 0 else None
             )
+            # maintenance path: incremental small-file compaction binpacks
+            # the fragmented steady-state MOR table (bucket-granular, CDC-
+            # invisible); the reclaim ratio is files_in/files_out and the
+            # row count must be unchanged
+            n_before = n_full
+            t0 = time.time()
+            cb = mor_table.compact_buckets(
+                small_file_bytes=32 << 20, min_input_files=2
+            )
+            t_cb = time.time() - t0
+            if not cb.get("skipped"):
+                assert mor_table.to_df().filter(
+                    F.col("seq") >= hi_bound
+                ).count() == n_before
+                steady["compact_buckets_files"] = (
+                    f"{cb['files_in']}->{cb['files_out']}"
+                )
+                steady["compact_buckets_buckets"] = cb["compacted_buckets"]
+                steady["compact_buckets_seconds"] = round(t_cb, 3)
             s.stop()
             result["steady_state_cdc"] = steady
 

@@ -71,6 +71,13 @@ class PipelineConfig:
     # amortized O(table/fold_every) rewrite per batch, delta chains bounded.
     sink_mode: str = "cow"
     auto_compact_every: Optional[int] = None
+    # auto_compact_mode "full" rewrites the whole table (the pre-r4
+    # behavior); "small_files" binpacks only fragmented buckets via
+    # compact_buckets — the 100 TB-safe default shape, where maintenance
+    # cost tracks fragmentation instead of table size
+    auto_compact_mode: str = "full"
+    auto_compact_small_file_bytes: int = 32 << 20
+    auto_compact_min_input_files: int = 4
     fold_every: Optional[int] = None  # cow_incremental stagger (None = table default)
     # cow_incremental fold scheduling: "commits" (delta-chain length, the
     # Hudi NUM_COMMITS trigger) or "size" (LSM size-tiered: pending delta
@@ -349,7 +356,14 @@ def process_batch(
         and conf.auto_compact_every
         and (batch_id + 1) % conf.auto_compact_every == 0
     ):
-        stats["compaction"] = table.compact()
+        stats["compaction"] = (
+            table.compact_buckets(
+                small_file_bytes=conf.auto_compact_small_file_bytes,
+                min_input_files=conf.auto_compact_min_input_files,
+            )
+            if conf.auto_compact_mode == "small_files"
+            else table.compact()
+        )
     if not stats.get("skipped"):
         # metrics rows were already collected; append driver-side (pyarrow).
         # slice_classes is merge-plan plumbing, not lineage — keep the

@@ -171,6 +171,47 @@ def test_file_index_maintained(spark, table):
     assert [r["id"] for r in hit.collect()] == [5]
 
 
+def test_pipeline_auto_compact_small_files(spark, tmp_path):
+    """sink_mode='mor' + auto_compact_mode='small_files' dispatches the
+    periodic maintenance to compact_buckets (bucket-granular binpack)
+    instead of the full rewrite; state must match batch-by-batch replay."""
+    from pyspark.sql import functions as SF
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    wal = synth_repo_wal(spark, 3000, n_repos=8, n_paths=30)
+    conf = PipelineConfig(
+        stream="s", sink_mode="mor", num_buckets=4, auto_compact_every=2,
+        auto_compact_mode="small_files", auto_compact_min_input_files=2,
+    )
+    t = LakeTable(spark, str(tmp_path / "auto"), num_buckets=4)
+    compactions = []
+    for i in range(4):
+        b = wal.filter(
+            (SF.col("seq") > i * 750) & (SF.col("seq") <= (i + 1) * 750)
+        )
+        stats = process_batch(t, conf, b, i)
+        if "compaction" in stats:
+            compactions.append(stats["compaction"])
+    assert compactions and any(
+        "compacted_buckets" in c for c in compactions if not c.get("skipped")
+    ), compactions
+    # state equals the straight LWW of the whole WAL
+    from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
+
+    want = sorted(
+        (r["repo"], r["path"], r["seq"])
+        for r in lww_dedup(wal, ["repo", "path"], ["seq", "commit"]).collect()
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["seq"]) for r in t.to_df(drop_deletes=False).collect()
+    )
+    assert got == want
+
+
 def test_racing_commit_to_compacted_bucket_recomputes(spark, table, tmp_path):
     """A racer's COW commit landing on a due bucket between read and
     publish invalidates the compaction (recompute); the final state must
