@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "text_oov_rate",
     "text_bigram_logprob",
+    # round-4 fourth-session additions
+    "bm25_search",
+    "chunk_windows",
 ]
 
 
