@@ -1523,6 +1523,87 @@ class LakeTable:
         stats["n_deleted"] = n
         return stats
 
+    def update_where(
+        self,
+        predicate,
+        set_values: dict,
+        batch_id: int,
+        writer_id: str = "default",
+        mode: str = "cow",
+        seq_bump: int = 1,
+    ) -> dict:
+        """Predicate UPDATE (the GDPR redact-in-place primitive, the
+        other half of ``delete_where``): emit LWW-winning UPDATED
+        versions of every LIVE row matching ``predicate``, with the
+        ``set_values`` assignments applied — routed through the
+        exactly-once merge path (per-writer ledger, CAS commit, sink
+        ``mode``), so a replayed ``batch_id`` is a no-op and the updates
+        flow through ``cdc_diff``/net-changes as ordinary update events.
+
+        ``set_values`` maps column name -> Column or SQL expression
+        string (evaluated against the victim row — expressions may
+        reference its old values, e.g. redact a substring). Assignments
+        are cast back to the column's existing type (redaction must not
+        drift the schema). Merge keys, the order columns, and the op
+        column are not assignable: re-keying rows would re-bucket them
+        (use delete + insert), and the bump/liveness columns belong to
+        the merge protocol. Point-in-time semantics match
+        ``delete_where``: a concurrent higher-seq upsert beats the
+        update; a later replayed LOWER-seq version cannot undo it.
+        Returns merge stats plus ``n_updated`` (0 skips the commit
+        without burning the ledger slot)."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError("update_where on an empty table")
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        op_col = m.get("op_col")
+        reserved = set(keys) | set(order_by) | {op_col, "__bucket", None}
+        bad = [c for c in set_values if c in reserved]
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign merge-protocol columns {sorted(bad)}; "
+                "keys re-bucket rows (delete + insert instead), order/op "
+                "columns belong to the merge protocol"
+            )
+        live = self.to_df(drop_deletes=True)
+        if live is None:
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+        dtypes = dict(live.dtypes)
+        missing = [c for c in set_values if c not in dtypes]
+        if missing:
+            raise ValueError(f"update_where: no such column(s) {sorted(missing)}")
+        bump_col = order_by[0]
+        dtype = dtypes.get(bump_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"update_where needs an integral first order_by column to "
+                f"mint a winning update seq; {bump_col!r} is {dtype!r}"
+            )
+        victims = live.filter(predicate)
+        upd = victims
+        for c, v in set_values.items():
+            expr = F.expr(v) if isinstance(v, str) else v
+            upd = upd.withColumn(c, expr.cast(dtypes[c]))
+        upd = upd.withColumn(
+            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
+        )
+        # one bounded action gates the commit (empty batch must not burn
+        # the writer's ledger slot — same contract as delete_where)
+        n = victims.count()
+        if n == 0:
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+        stats = self.merge_upsert(
+            upd,
+            keys=keys,
+            order_by=order_by,
+            batch_id=batch_id,
+            op_col=op_col,
+            mode=mode,
+            writer_id=writer_id,
+        )
+        stats["n_updated"] = n
+        return stats
+
     def delete_keys(
         self,
         key_values: Sequence[dict],

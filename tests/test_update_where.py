@@ -1,0 +1,134 @@
+"""update_where: predicate updates (GDPR redact-in-place) routed through
+the exactly-once merge path — LWW-winning updated versions that survive
+replay, flow through cdc_diff as updates, and cannot be undone by a
+later replay of an older version.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+SCHEMA = "seq long, repo string, path string, commit string, op string, content string"
+KEYS = ["repo", "path"]
+ORDER = ["seq", "commit"]
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    t.merge_upsert(
+        mk(
+            spark,
+            [
+                (1, "r1", "a", "c1", "upsert", "clean"),
+                (2, "r1", "b", "c2", "upsert", "secret-token-123"),
+                (3, "r2", "a", "c3", "upsert", "secret-token-456"),
+                (4, "r2", "b", "c4", "upsert", "fine"),
+            ],
+        ),
+        KEYS,
+        ORDER,
+        batch_id=0,
+        op_col="op",
+    )
+    return t
+
+
+def state(t):
+    return {
+        (r["repo"], r["path"]): (r["seq"], r["content"])
+        for r in t.to_df().collect()
+    }
+
+
+def test_redaction_updates_matches_only(spark, table):
+    stats = table.update_where(
+        F.col("content").startswith("secret"),
+        {"content": F.lit("[REDACTED]")},
+        batch_id=1,
+    )
+    assert stats["n_updated"] == 2 and not stats.get("skipped")
+    got = state(table)
+    assert got[("r1", "b")] == (3, "[REDACTED]")  # seq bumped past victim
+    assert got[("r2", "a")] == (4, "[REDACTED]")
+    assert got[("r1", "a")] == (1, "clean")  # untouched
+    assert got[("r2", "b")] == (4, "fine")
+    # all four keys still LIVE (updates are not deletes)
+    assert len(got) == 4
+
+
+def test_expression_references_old_values(spark, table):
+    table.update_where(
+        "content like 'secret%'",
+        {"content": "concat('masked:', substr(content, 1, 6))"},
+        batch_id=1,
+    )
+    got = state(table)
+    assert got[("r1", "b")][1] == "masked:secret"
+    assert got[("r2", "a")][1] == "masked:secret"
+
+
+def test_replayed_batch_is_noop_and_old_version_cannot_resurrect(spark, table):
+    table.update_where(
+        F.col("content").startswith("secret"), {"content": F.lit("X")}, batch_id=1
+    )
+    after = state(table)
+    # replay of the same maintenance batch: ledger suppresses it
+    replay = table.update_where(
+        F.col("content").startswith("secret"), {"content": F.lit("Y")}, batch_id=1
+    )
+    assert replay.get("skipped")
+    assert state(table) == after
+    # a late replay of the ORIGINAL lower-seq version loses LWW
+    table.merge_upsert(
+        mk(spark, [(2, "r1", "b", "c2", "upsert", "secret-token-123")]),
+        KEYS, ORDER, batch_id=0, op_col="op", writer_id="replayer",
+    )
+    assert state(table)[("r1", "b")] == (3, "X")
+
+
+def test_cdc_sees_ordinary_updates(spark, table):
+    v = table.current_manifest()["version"]
+    table.update_where(
+        F.col("content").startswith("secret"), {"content": F.lit("Z")}, batch_id=1
+    )
+    diff = table.cdc_diff(v)
+    rows = {(r["repo"], r["path"]): r["change"] for r in diff.collect()}
+    assert rows == {("r1", "b"): "update", ("r2", "a"): "update"}
+
+
+def test_no_match_skips_without_burning_ledger(spark, table):
+    out = table.update_where("content = 'nope'", {"content": F.lit("x")}, batch_id=1)
+    assert out.get("skipped") and out["n_updated"] == 0
+    # the slot is still usable for a real update
+    out2 = table.update_where(
+        "content like 'secret%'", {"content": F.lit("w")}, batch_id=1
+    )
+    assert out2["n_updated"] == 2
+
+
+def test_protocol_columns_not_assignable(spark, table):
+    for col in ("repo", "seq", "commit", "op"):
+        with pytest.raises(ValueError, match="merge-protocol"):
+            table.update_where("true", {col: F.lit("x")}, batch_id=1)
+    with pytest.raises(ValueError, match="no such column"):
+        table.update_where("true", {"ghost": F.lit("x")}, batch_id=1)
+
+
+def test_mor_mode_and_assignment_type_cast(spark, table):
+    """MOR-mode updates append deltas; assignments cast back to the
+    column's existing type so redaction can't drift the schema."""
+    table.update_where(
+        "content like 'secret%'", {"content": F.lit(12345)}, batch_id=1, mode="mor"
+    )
+    m = table.current_manifest()
+    assert m.get("deltas")  # appended as deltas, not a COW rewrite
+    got = state(table)
+    assert got[("r1", "b")][1] == "12345"  # cast to string, schema stable
+    f = {f_["name"]: f_["type"] for f_ in m["schema"]["fields"]}
+    assert f["content"] == "string"
