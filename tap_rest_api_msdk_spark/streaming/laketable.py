@@ -3047,6 +3047,52 @@ class LakeTable:
             "seconds": time.time() - t0,
         }
 
+    def stats(self, small_file_bytes: int = 32 << 20) -> Optional[dict]:
+        """Driver-side table health report (metadata only — no Spark job,
+        no file listing beyond the manifest): layout, fragmentation and
+        delta-backlog numbers an operator needs to schedule maintenance.
+        ``fragmented_buckets`` counts buckets that ``compact_buckets``
+        would select at the same ``small_file_bytes`` threshold (with its
+        default ``min_input_files=4``), so the report directly answers
+        "is a binpack due?"."""
+        m = self.current_manifest()
+        if m is None:
+            return None
+        sizes = m.get("file_bytes", {})
+        per_bucket_files: dict[str, int] = {}
+        per_bucket_small: dict[str, int] = {}
+        uniq: set[str] = set()
+        delta_files = 0
+        max_chain = 0
+        for section in ("files", "deltas"):
+            for b, fl in m.get(section, {}).items():
+                per_bucket_files[b] = per_bucket_files.get(b, 0) + len(fl)
+                if section == "deltas":
+                    delta_files += len(fl)
+                    max_chain = max(max_chain, len(fl))
+                for f in fl:
+                    uniq.add(f)
+                    if sizes.get(os.path.basename(f), small_file_bytes) < small_file_bytes:
+                        per_bucket_small[b] = per_bucket_small.get(b, 0) + 1
+        total_bytes = sum(
+            sizes.get(os.path.basename(f), 0) for f in uniq
+        )
+        counts = sorted(per_bucket_files.values())
+        return {
+            "version": m["version"],
+            "num_buckets": int(m.get("num_buckets", self.num_buckets)),
+            "files": len(uniq),
+            "bytes": total_bytes,
+            "delta_files_pending": delta_files,
+            "max_delta_chain": max_chain,
+            "small_files": sum(per_bucket_small.values()),
+            "fragmented_buckets": sum(
+                1 for b, n in per_bucket_small.items() if n >= 4
+            ),
+            "max_files_per_bucket": counts[-1] if counts else 0,
+            "tags": len(self.tags()),
+        }
+
     def rebucket(self, new_num_buckets: int, key_index: bool = False) -> dict:
         """Online bucket-count evolution (the hash-bucket analog of
         Iceberg partition evolution): rewrite the full resolved state —

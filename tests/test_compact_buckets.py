@@ -171,6 +171,24 @@ def test_file_index_maintained(spark, table):
     assert [r["id"] for r in hit.collect()] == [5]
 
 
+def test_stats_report_tracks_fragmentation(spark, table):
+    """stats() is metadata-only and must agree with what compact_buckets
+    actually selects; after the binpack the report shows the reclaim."""
+    s0 = table.stats(small_file_bytes=32 << 20)
+    assert s0["files"] > 4 and s0["delta_files_pending"] > 0
+    assert s0["fragmented_buckets"] == 4  # fixture fragments every bucket
+    assert s0["bytes"] > 0 and s0["max_delta_chain"] >= 1
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=4)
+    assert not out.get("skipped")
+    assert out["compacted_buckets"] == s0["fragmented_buckets"]
+    s1 = table.stats(small_file_bytes=32 << 20)
+    assert s1["version"] == s0["version"] + 1
+    assert s1["files"] < s0["files"] and s1["delta_files_pending"] == 0
+    assert table.stats() is not None  # defaults work
+    empty = LakeTable(spark, table.path + "-nope", num_buckets=2)
+    assert empty.stats() is None
+
+
 def test_pipeline_auto_compact_small_files(spark, tmp_path):
     """sink_mode='mor' + auto_compact_mode='small_files' dispatches the
     periodic maintenance to compact_buckets (bucket-granular binpack)
