@@ -43,8 +43,22 @@ def parse_args(argv):
     p.add_argument("--op-col", default="op")
     p.add_argument("--payload-col", default="payload")
     p.add_argument("--num-buckets", type=int, default=64)
-    p.add_argument("--mode", choices=["batch", "stream", "net-changes"],
+    p.add_argument("--mode",
+                   choices=["batch", "stream", "net-changes", "maintenance"],
                    default="batch")
+    p.add_argument("--maintenance",
+                   choices=["stats", "compact-small", "compact-full",
+                            "vacuum", "expire"],
+                   default="stats",
+                   help="maintenance mode op: stats (health report), "
+                        "compact-small (binpack fragmented buckets), "
+                        "compact-full (whole-table rewrite), vacuum "
+                        "(reclaim unreferenced files), expire (drop old "
+                        "manifests) — the spark-submit surface a cron "
+                        "maintenance job calls")
+    p.add_argument("--small-file-bytes", type=int, default=32 << 20)
+    p.add_argument("--retain-last", type=int, default=3,
+                   help="vacuum/expire: snapshots to keep")
     p.add_argument("--from-version", type=int, default=None,
                    help="net-changes mode: baseline version (-1 = all "
                         "history; default = table head at first run)")
@@ -142,6 +156,28 @@ def main(argv=None) -> int:
             summary["tagged_version"] = table.tag(args.tag, version=v,
                                                   overwrite=True)
         print(json.dumps(summary))
+        return 0
+
+    if args.mode == "maintenance":
+        if not args.table:
+            print("--table is required for maintenance", file=sys.stderr)
+            return 2
+        from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+        table = LakeTable(spark, args.table, num_buckets=args.num_buckets)
+        if args.maintenance == "stats":
+            out = table.stats(small_file_bytes=args.small_file_bytes)
+        elif args.maintenance == "compact-small":
+            out = table.compact_buckets(small_file_bytes=args.small_file_bytes)
+        elif args.maintenance == "compact-full":
+            out = table.compact()
+        elif args.maintenance == "vacuum":
+            out = {"files_reclaimed": table.vacuum(retain_last=args.retain_last)}
+        else:  # expire
+            out = {"manifests_expired": table.expire_manifests(
+                retain_last=args.retain_last)}
+        print(json.dumps({"table": args.table, "op": args.maintenance,
+                          "result": out}))
         return 0
 
     if not args.wal_dir or not args.table:

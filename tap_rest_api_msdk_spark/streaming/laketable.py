@@ -3059,16 +3059,20 @@ class LakeTable:
         if m is None:
             return None
         sizes = m.get("file_bytes", {})
+        # per-bucket counts are REFERENCE counts (a shared file counts
+        # for each bucket referencing it — that's what a rewrite of the
+        # bucket pays); the top-level files/bytes/small/delta numbers are
+        # UNIQUE files, the physical truth
         per_bucket_files: dict[str, int] = {}
         per_bucket_small: dict[str, int] = {}
         uniq: set[str] = set()
-        delta_files = 0
+        uniq_delta: set[str] = set()
         max_chain = 0
         for section in ("files", "deltas"):
             for b, fl in m.get(section, {}).items():
                 per_bucket_files[b] = per_bucket_files.get(b, 0) + len(fl)
                 if section == "deltas":
-                    delta_files += len(fl)
+                    uniq_delta.update(fl)
                     max_chain = max(max_chain, len(fl))
                 for f in fl:
                     uniq.add(f)
@@ -3078,14 +3082,19 @@ class LakeTable:
             sizes.get(os.path.basename(f), 0) for f in uniq
         )
         counts = sorted(per_bucket_files.values())
+        small_uniq = sum(
+            1
+            for f in uniq
+            if sizes.get(os.path.basename(f), small_file_bytes) < small_file_bytes
+        )
         return {
             "version": m["version"],
             "num_buckets": int(m.get("num_buckets", self.num_buckets)),
             "files": len(uniq),
             "bytes": total_bytes,
-            "delta_files_pending": delta_files,
+            "delta_files_pending": len(uniq_delta),
             "max_delta_chain": max_chain,
-            "small_files": sum(per_bucket_small.values()),
+            "small_files": small_uniq,
             "fragmented_buckets": sum(
                 1 for b, n in per_bucket_small.items() if n >= 4
             ),
