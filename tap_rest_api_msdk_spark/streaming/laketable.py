@@ -1626,14 +1626,108 @@ class LakeTable:
         m = self._current_core()
         if m is None:
             raise ValueError("delete_keys on an empty table")
-        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
-            self.num_buckets = int(m["num_buckets"])
         op_col = m.get("op_col")
         if not op_col:
             raise ValueError(
                 "delete_keys requires a table with an op_col (tombstones "
                 "are how deletes persist); this table was created without one"
             )
+        out = self._point_victims(m, key_values, "delete_keys")
+        if out is None:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        keys, order_by, bump_col, bump_type, victims = out
+        tomb = victims.withColumn(
+            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
+        ).withColumn(op_col, F.lit("delete"))
+        n = victims.count()
+        if n == 0:
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+        stats = self.merge_upsert(
+            tomb,
+            keys=keys,
+            order_by=order_by,
+            batch_id=batch_id,
+            op_col=op_col,
+            mode=mode,
+            writer_id=writer_id,
+        )
+        stats["n_deleted"] = n
+        return stats
+
+    def update_keys(
+        self,
+        key_values: Sequence[dict],
+        set_values: dict,
+        batch_id: int,
+        writer_id: str = "default",
+        mode: str = "cow",
+        seq_bump: int = 1,
+    ) -> dict:
+        """Index-pruned point UPDATE (the "fix this one record" fast
+        path): apply ``set_values`` (Column or SQL expression over the
+        victim's old values, cast back to the column's existing type) to
+        SPECIFIC live keys through the same lookup pruning funnel as
+        ``delete_keys`` — bucket → (bucket, slice64) claims → per-file
+        key blooms — so the data read is O(candidate files), never a
+        table scan. Merge keys / order / op columns are not assignable;
+        absent (or deleted) keys skip silently; an all-absent request
+        skips the commit without burning the ledger slot. LWW/replay
+        semantics match ``update_where``. ``last_delete_stats`` records
+        the shared pruning funnel."""
+        m = self._current_core()
+        if m is None:
+            raise ValueError("update_keys on an empty table")
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        op_col = m.get("op_col")
+        reserved = set(keys) | set(order_by) | {op_col, "__bucket", None}
+        bad = [c for c in set_values if c in reserved]
+        if bad:
+            raise ValueError(
+                f"update_keys cannot assign merge-protocol columns {sorted(bad)}; "
+                "keys re-bucket rows (delete + insert instead), order/op "
+                "columns belong to the merge protocol"
+            )
+        schema = T.StructType.fromJson(m["schema"])
+        dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+        missing = [c for c in set_values if c not in dtypes]
+        if missing:
+            raise ValueError(f"update_keys: no such column(s) {sorted(missing)}")
+        out = self._point_victims(m, key_values, "update_keys")
+        if out is None:
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+        keys, order_by, bump_col, bump_type, victims = out
+        upd = victims
+        for c, v in set_values.items():
+            expr = F.expr(v) if isinstance(v, str) else v
+            upd = upd.withColumn(c, expr.cast(dtypes[c]))
+        upd = upd.withColumn(
+            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
+        )
+        n = victims.count()
+        if n == 0:
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+        stats = self.merge_upsert(
+            upd,
+            keys=keys,
+            order_by=order_by,
+            batch_id=batch_id,
+            op_col=op_col,
+            mode=mode,
+            writer_id=writer_id,
+        )
+        stats["n_updated"] = n
+        return stats
+
+    def _point_victims(self, m: dict, key_values: Sequence[dict], verb: str):
+        """Shared funnel for point delete/update: prune bucket →
+        (bucket, slice64) claims → per-file key blooms, read only the
+        candidate files, LWW-resolve, and semi-join the requested keys.
+        Returns (keys, order_by, bump_col, bump_type, victims_df) — or
+        None for an empty request. ``last_delete_stats`` records the
+        funnel."""
+        if m.get("num_buckets"):  # manifest-authoritative (rebucket-safe)
+            self.num_buckets = int(m["num_buckets"])
+        op_col = m.get("op_col")
         keys, order_by = list(m["keys"]), list(m["order_by"])
         schema = T.StructType.fromJson(m["schema"])
         bump_col = order_by[0]
@@ -1642,14 +1736,14 @@ class LakeTable:
         ]
         if bump_type not in ("tinyint", "smallint", "int", "bigint"):
             raise ValueError(
-                f"delete_keys needs an integral first order_by column to "
-                f"mint a winning tombstone seq; {bump_col!r} is {bump_type!r}"
+                f"{verb} needs an integral first order_by column to "
+                f"mint a winning seq; {bump_col!r} is {bump_type!r}"
             )
         for kv in key_values:
             if set(kv) != set(keys):
-                raise ValueError(f"delete_keys needs exactly the merge keys {keys}")
+                raise ValueError(f"{verb} needs exactly the merge keys {keys}")
         if not key_values:
-            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+            return None
         probe_schema = T.StructType([f for f in schema.fields if f.name in keys])
         probe = self.spark.createDataFrame(
             [tuple(kv[f.name] for f in probe_schema.fields) for kv in key_values],
@@ -1709,23 +1803,7 @@ class LakeTable:
             m, candidates, pairs, None, op_col
         )
         victims = resolved.join(F.broadcast(probe), keys, "leftsemi")
-        tomb = victims.withColumn(
-            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
-        ).withColumn(op_col, F.lit("delete"))
-        n = victims.count()
-        if n == 0:
-            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
-        stats = self.merge_upsert(
-            tomb,
-            keys=keys,
-            order_by=order_by,
-            batch_id=batch_id,
-            op_col=op_col,
-            mode=mode,
-            writer_id=writer_id,
-        )
-        stats["n_deleted"] = n
-        return stats
+        return keys, order_by, bump_col, bump_type, victims
 
     def _merge_upsert_once(
         self, batch_df, keys, order_by, batch_id, op_col, bookmark_updates,

@@ -120,6 +120,61 @@ def test_protocol_columns_not_assignable(spark, table):
         table.update_where("true", {"ghost": F.lit("x")}, batch_id=1)
 
 
+def test_update_keys_prunes_and_updates(spark, tmp_path):
+    """Point updates run the same bloom/slice funnel as delete_keys:
+    candidate files << touched buckets' files, absent keys skip without
+    burning the ledger, replay is a no-op, non-victims untouched."""
+    t = LakeTable(spark, str(tmp_path / "pk"), num_buckets=8)
+    rows = [(i, f"r{i % 50}", f"p{i}", f"c{i}", "upsert", f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    for b in range(4):
+        t.merge_upsert(
+            df.filter(F.col("seq") % 4 == b), KEYS, ORDER,
+            batch_id=b, op_col="op", key_index=True, mode="mor",
+        )
+    stats = t.update_keys(
+        [{"repo": "r7", "path": "p7"}, {"repo": "r7", "path": "p107"}],
+        {"content": "concat(content, ':fixed')"},
+        batch_id=10,
+    )
+    assert stats["n_updated"] == 2
+    funnel = t.last_delete_stats
+    assert funnel["candidate_files"] < funnel["bucket_files"], funnel
+    assert funnel["sections_loaded"] == funnel["buckets_touched"] <= 2
+    live = t.to_df(drop_deletes=True)
+    got = {
+        r["path"]: (r["seq"], r["content"])
+        for r in live.filter("path in ('p7', 'p107')").collect()
+    }
+    assert got == {"p7": (8, "v7:fixed"), "p107": (108, "v107:fixed")}
+    assert live.count() == 400  # updates keep every key live
+    assert live.filter("content like '%:fixed'").count() == 2
+    # absent keys skip without burning the ledger slot
+    out = t.update_keys(
+        [{"repo": "zz", "path": "zz"}], {"content": F.lit("x")}, batch_id=11
+    )
+    assert out["skipped"] and out["n_updated"] == 0
+    # replay of the real update is a no-op
+    v = t.current_manifest()["version"]
+    assert t.update_keys(
+        [{"repo": "r7", "path": "p7"}], {"content": F.lit("again")}, batch_id=10
+    )["skipped"]
+    assert t.current_manifest()["version"] == v
+
+
+def test_update_keys_validation(spark, table):
+    with pytest.raises(ValueError, match="exactly the merge keys"):
+        table.update_keys([{"repo": "r1"}], {"content": F.lit("x")}, batch_id=5)
+    with pytest.raises(ValueError, match="merge-protocol"):
+        table.update_keys(
+            [{"repo": "r1", "path": "a"}], {"seq": F.lit(9)}, batch_id=5
+        )
+    with pytest.raises(ValueError, match="no such column"):
+        table.update_keys(
+            [{"repo": "r1", "path": "a"}], {"ghost": F.lit("x")}, batch_id=5
+        )
+
+
 def test_mor_mode_and_assignment_type_cast(spark, table):
     """MOR-mode updates append deltas; assignments cast back to the
     column's existing type so redaction can't drift the schema."""
