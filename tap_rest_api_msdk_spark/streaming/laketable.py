@@ -2938,12 +2938,20 @@ class LakeTable:
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
         ).cast("int")
+        shaped = df.withColumn("__salt", salt).repartition(
+            k_parts, "__bucket", "__salt"
+        )
+        rk = (m.get("order_by") or [None])[0]
+        if rk:
+            # cluster rows by the ordering column WITHIN each output file
+            # (file-to-granule mapping is untouched — still (bucket, salt)):
+            # parquet row-group min/max become tight on the ordering
+            # column, so read_since/read_range's pushed residual filter
+            # skips row groups even inside files the whole-file zone map
+            # cannot prune, and runs of adjacent values compress better
+            shaped = shaped.sortWithinPartitions("__bucket", "__salt", rk)
         (
-            df.withColumn("__salt", salt)
-            .repartition(k_parts, "__bucket", "__salt")
-            .drop("__salt")
-            .write.mode("overwrite")
-            .parquet(out_dir)
+            shaped.drop("__salt").write.mode("overwrite").parquet(out_dir)
         )
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):

@@ -171,6 +171,32 @@ def test_file_index_maintained(spark, table):
     assert [r["id"] for r in hit.collect()] == [5]
 
 
+def test_rewrite_clusters_rows_by_order_column(spark, tmp_path):
+    """Compaction output files are sorted by the ordering column within
+    each (bucket, salt) group, so parquet row-group stats stay tight for
+    pushed order filters. With one bucket and one salt slice the whole
+    file must be seq-sorted."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable(spark, str(tmp_path / "sorted"), num_buckets=1,
+                  files_per_bucket=1)
+    # interleaved seq across commits -> unsorted layout pre-compaction
+    up(t, [(i, i, "up", f"a{i}") for i in range(0, 100, 2)], 0)
+    up(t, [(i, 100 + i, "up", f"b{i}") for i in range(1, 100, 2)], 1, mode="mor")
+    out = t.compact_buckets(buckets=[0])
+    assert not out.get("skipped")
+    m = t.current_manifest()
+    files = [f for fl in m["files"].values() for f in fl]
+    assert files
+    for f in files:
+        seqs = pq.read_table(f, columns=["seq"])["seq"].to_pylist()
+        assert seqs == sorted(seqs), f
+    # state unchanged by the clustered rewrite
+    assert {r["id"] for r in t.to_df().collect()} == (
+        set(range(0, 100, 2)) | {100 + i for i in range(1, 100, 2)}
+    )
+
+
 def test_stats_report_tracks_fragmentation(spark, table):
     """stats() is metadata-only and must agree with what compact_buckets
     actually selects; after the binpack the report shows the reclaim."""
