@@ -57,6 +57,9 @@ def parse_args(argv):
                         "manifests) — the spark-submit surface a cron "
                         "maintenance job calls")
     p.add_argument("--small-file-bytes", type=int, default=32 << 20)
+    p.add_argument("--min-input-files", type=int, default=4,
+                   help="stats / compact-small: small files per bucket "
+                        "before a binpack is due")
     p.add_argument("--retain-last", type=int, default=3,
                    help="vacuum/expire: snapshots to keep")
     p.add_argument("--from-version", type=int, default=None,
@@ -166,9 +169,11 @@ def main(argv=None) -> int:
 
         table = LakeTable(spark, args.table, num_buckets=args.num_buckets)
         if args.maintenance == "stats":
-            out = table.stats(small_file_bytes=args.small_file_bytes)
+            out = table.stats(small_file_bytes=args.small_file_bytes,
+                              min_input_files=args.min_input_files)
         elif args.maintenance == "compact-small":
-            out = table.compact_buckets(small_file_bytes=args.small_file_bytes)
+            out = table.compact_buckets(small_file_bytes=args.small_file_bytes,
+                                        min_input_files=args.min_input_files)
         elif args.maintenance == "compact-full":
             out = table.compact()
         elif args.maintenance == "vacuum":

@@ -1491,6 +1491,10 @@ class LakeTable:
                 "are how deletes persist); this table was created without one"
             )
         keys, order_by = list(m["keys"]), list(m["order_by"])
+        if batch_id <= self._last_for(m, writer_id):
+            # ledger short-circuit BEFORE the victim scan (replay of an
+            # applied delete must not pay a full live-table pass)
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
         live = self.to_df(drop_deletes=True)
         if live is None:
             return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
@@ -1520,8 +1524,40 @@ class LakeTable:
             mode=mode,
             writer_id=writer_id,
         )
-        stats["n_deleted"] = n
+        stats["n_deleted"] = 0 if stats.get("skipped") else n
         return stats
+
+    def _validated_assignment_types(
+        self, m: dict, set_values: dict, dtypes: dict, verb: str
+    ) -> None:
+        """Refuse assignments to merge-protocol columns and to columns
+        that don't exist — shared by update_where / update_keys."""
+        keys, order_by = list(m["keys"]), list(m["order_by"])
+        reserved = set(keys) | set(order_by) | {m.get("op_col"), "__bucket", None}
+        bad = [c for c in set_values if c in reserved]
+        if bad:
+            raise ValueError(
+                f"{verb} cannot assign merge-protocol columns {sorted(bad)}; "
+                "keys re-bucket rows (delete + insert instead), order/op "
+                "columns belong to the merge protocol"
+            )
+        missing = [c for c in set_values if c not in dtypes]
+        if missing:
+            raise ValueError(f"{verb}: no such column(s) {sorted(missing)}")
+
+    @staticmethod
+    def _apply_assignments(victims, set_values: dict, dtypes: dict):
+        """SIMULTANEOUS assignment (SQL UPDATE SET semantics): every
+        expression is evaluated against the victim row's OLD values in
+        one select — {'a': 'b', 'b': 'a'} swaps, it does not chain
+        through earlier assignments like sequential withColumn would."""
+        assigned = {
+            c: (F.expr(v) if isinstance(v, str) else v).cast(dtypes[c]).alias(c)
+            for c, v in set_values.items()
+        }
+        return victims.select(
+            *[assigned.get(c, F.col(c)) for c in victims.columns]
+        )
 
     def update_where(
         self,
@@ -1557,21 +1593,16 @@ class LakeTable:
             raise ValueError("update_where on an empty table")
         keys, order_by = list(m["keys"]), list(m["order_by"])
         op_col = m.get("op_col")
-        reserved = set(keys) | set(order_by) | {op_col, "__bucket", None}
-        bad = [c for c in set_values if c in reserved]
-        if bad:
-            raise ValueError(
-                f"update_where cannot assign merge-protocol columns {sorted(bad)}; "
-                "keys re-bucket rows (delete + insert instead), order/op "
-                "columns belong to the merge protocol"
-            )
+        if batch_id <= self._last_for(m, writer_id):
+            # ledger short-circuit BEFORE the victim scan: a replayed
+            # batch whose predicate still matches must not pay a full
+            # live-table pass just to be suppressed by merge_upsert
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
         live = self.to_df(drop_deletes=True)
         if live is None:
             return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
         dtypes = dict(live.dtypes)
-        missing = [c for c in set_values if c not in dtypes]
-        if missing:
-            raise ValueError(f"update_where: no such column(s) {sorted(missing)}")
+        self._validated_assignment_types(m, set_values, dtypes, "update_where")
         bump_col = order_by[0]
         dtype = dtypes.get(bump_col)
         if dtype not in ("tinyint", "smallint", "int", "bigint"):
@@ -1580,11 +1611,7 @@ class LakeTable:
                 f"mint a winning update seq; {bump_col!r} is {dtype!r}"
             )
         victims = live.filter(predicate)
-        upd = victims
-        for c, v in set_values.items():
-            expr = F.expr(v) if isinstance(v, str) else v
-            upd = upd.withColumn(c, expr.cast(dtypes[c]))
-        upd = upd.withColumn(
+        upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
             bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
         )
         # one bounded action gates the commit (empty batch must not burn
@@ -1601,7 +1628,8 @@ class LakeTable:
             mode=mode,
             writer_id=writer_id,
         )
-        stats["n_updated"] = n
+        # a commit suppressed by a racer's ledger advance applied nothing
+        stats["n_updated"] = 0 if stats.get("skipped") else n
         return stats
 
     def delete_keys(
@@ -1632,6 +1660,8 @@ class LakeTable:
                 "delete_keys requires a table with an op_col (tombstones "
                 "are how deletes persist); this table was created without one"
             )
+        if batch_id <= self._last_for(m, writer_id):
+            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
         out = self._point_victims(m, key_values, "delete_keys")
         if out is None:
             return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
@@ -1651,7 +1681,7 @@ class LakeTable:
             mode=mode,
             writer_id=writer_id,
         )
-        stats["n_deleted"] = n
+        stats["n_deleted"] = 0 if stats.get("skipped") else n
         return stats
 
     def update_keys(
@@ -1677,30 +1707,17 @@ class LakeTable:
         m = self._current_core()
         if m is None:
             raise ValueError("update_keys on an empty table")
-        keys, order_by = list(m["keys"]), list(m["order_by"])
         op_col = m.get("op_col")
-        reserved = set(keys) | set(order_by) | {op_col, "__bucket", None}
-        bad = [c for c in set_values if c in reserved]
-        if bad:
-            raise ValueError(
-                f"update_keys cannot assign merge-protocol columns {sorted(bad)}; "
-                "keys re-bucket rows (delete + insert instead), order/op "
-                "columns belong to the merge protocol"
-            )
         schema = T.StructType.fromJson(m["schema"])
         dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
-        missing = [c for c in set_values if c not in dtypes]
-        if missing:
-            raise ValueError(f"update_keys: no such column(s) {sorted(missing)}")
+        self._validated_assignment_types(m, set_values, dtypes, "update_keys")
+        if batch_id <= self._last_for(m, writer_id):
+            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
         out = self._point_victims(m, key_values, "update_keys")
         if out is None:
             return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
         keys, order_by, bump_col, bump_type, victims = out
-        upd = victims
-        for c, v in set_values.items():
-            expr = F.expr(v) if isinstance(v, str) else v
-            upd = upd.withColumn(c, expr.cast(dtypes[c]))
-        upd = upd.withColumn(
+        upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
             bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
         )
         n = victims.count()
@@ -1715,7 +1732,7 @@ class LakeTable:
             mode=mode,
             writer_id=writer_id,
         )
-        stats["n_updated"] = n
+        stats["n_updated"] = 0 if stats.get("skipped") else n
         return stats
 
     def _point_victims(self, m: dict, key_values: Sequence[dict], verb: str):
@@ -1763,6 +1780,7 @@ class LakeTable:
         ).collect()
         candidates: set = set()
         pairs: list = []
+        pair_set: set = set()
         sections_loaded = 0
         bucket_files_total = 0
         by_bucket: dict = {}
@@ -1788,7 +1806,14 @@ class LakeTable:
                         bl, row["__h1"], row["__h2"]
                     ):
                         continue
-                    if f not in candidates:
+                    # dedup on the (file, bucket) PAIR, not the file: a
+                    # file SHARED by two buckets (partition-index
+                    # collisions) must contribute an ownership pair per
+                    # bucket, or the resolved read's ownership semi-join
+                    # drops the second bucket's victims and a point
+                    # delete/update silently skips a live key
+                    if (bn, b) not in pair_set:
+                        pair_set.add((bn, b))
                         candidates.add(f)
                         pairs.append((bn, b))
                     break
@@ -2959,7 +2984,7 @@ class LakeTable:
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
         new_files, new_meta = self._files_and_meta(affected, S, k_parts, by_index)
         new_sizes = self._sizes_of(by_index)
-        new_stats = self._stats_of(by_index, (m.get("order_by") or [None])[0])
+        new_stats = self._stats_of(by_index, rk)
         new_blooms = (
             self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
             if key_index
@@ -3133,14 +3158,16 @@ class LakeTable:
             "seconds": time.time() - t0,
         }
 
-    def stats(self, small_file_bytes: int = 32 << 20) -> Optional[dict]:
+    def stats(
+        self, small_file_bytes: int = 32 << 20, min_input_files: int = 4
+    ) -> Optional[dict]:
         """Driver-side table health report (metadata only — no Spark job,
         no file listing beyond the manifest): layout, fragmentation and
         delta-backlog numbers an operator needs to schedule maintenance.
         ``fragmented_buckets`` counts buckets that ``compact_buckets``
-        would select at the same ``small_file_bytes`` threshold (with its
-        default ``min_input_files=4``), so the report directly answers
-        "is a binpack due?"."""
+        would select at the SAME ``small_file_bytes``/``min_input_files``
+        thresholds, so the report directly answers "is a binpack due?" —
+        pass the thresholds your maintenance job actually uses."""
         m = self.current_manifest()
         if m is None:
             return None
@@ -3182,7 +3209,9 @@ class LakeTable:
             "max_delta_chain": max_chain,
             "small_files": small_uniq,
             "fragmented_buckets": sum(
-                1 for b, n in per_bucket_small.items() if n >= 4
+                1
+                for b, n in per_bucket_small.items()
+                if n >= max(1, min_input_files)
             ),
             "max_files_per_bucket": counts[-1] if counts else 0,
             "tags": len(self.tags()),

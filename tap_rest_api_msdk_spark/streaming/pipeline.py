@@ -356,6 +356,13 @@ def process_batch(
         and conf.auto_compact_every
         and (batch_id + 1) % conf.auto_compact_every == 0
     ):
+        if conf.auto_compact_mode not in ("full", "small_files"):
+            # a typo must not silently fall through to the O(table)
+            # full rewrite the small_files mode exists to avoid
+            raise ValueError(
+                f"auto_compact_mode {conf.auto_compact_mode!r} "
+                "(expected 'full' or 'small_files')"
+            )
         stats["compaction"] = (
             table.compact_buckets(
                 small_file_bytes=conf.auto_compact_small_file_bytes,

@@ -171,6 +171,35 @@ def test_file_index_maintained(spark, table):
     assert [r["id"] for r in hit.collect()] == [5]
 
 
+def test_auto_compact_mode_typo_raises(spark, tmp_path):
+    """A misspelled auto_compact_mode must raise, never silently fall
+    through to the O(table) full rewrite."""
+    from pyspark.sql import functions as SF
+    from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    wal = synth_repo_wal(spark, 400, n_repos=4, n_paths=10)
+    conf = PipelineConfig(
+        stream="s", sink_mode="mor", num_buckets=2, auto_compact_every=1,
+        auto_compact_mode="small-files",  # hyphen typo
+    )
+    t = LakeTable(spark, str(tmp_path / "typo"), num_buckets=2)
+    with pytest.raises(ValueError, match="auto_compact_mode"):
+        process_batch(t, conf, wal, 0)
+
+
+def test_stats_respects_min_input_files(spark, table):
+    """stats(min_input_files=...) must answer for the thresholds the
+    maintenance job actually uses."""
+    hi = table.stats(small_file_bytes=32 << 20, min_input_files=100)
+    lo = table.stats(small_file_bytes=32 << 20, min_input_files=1)
+    assert hi["fragmented_buckets"] == 0
+    assert lo["fragmented_buckets"] == 4
+
+
 def test_rewrite_clusters_rows_by_order_column(spark, tmp_path):
     """Compaction output files are sorted by the ordering column within
     each (bucket, salt) group, so parquet row-group stats stay tight for

@@ -120,6 +120,79 @@ def test_protocol_columns_not_assignable(spark, table):
         table.update_where("true", {"ghost": F.lit("x")}, batch_id=1)
 
 
+def test_simultaneous_assignment_swap(spark, tmp_path):
+    """SQL UPDATE SET semantics: every expression sees the victim's OLD
+    values — {'a': 'b', 'b': 'a'} swaps instead of chaining through the
+    first assignment."""
+    t = LakeTable(spark, str(tmp_path / "swap"), num_buckets=2)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 10, "up", "left", "right")],
+            "seq long, id long, op string, a string, b string",
+        ),
+        ["id"], ["seq"], batch_id=0, op_col="op",
+    )
+    t.update_where("id = 10", {"a": "b", "b": "a"}, batch_id=1)
+    row = t.to_df().collect()[0]
+    assert (row["a"], row["b"]) == ("right", "left"), (row["a"], row["b"])
+
+
+def test_replay_with_matching_predicate_reports_zero(spark, table):
+    """A replayed batch id is suppressed by the ledger BEFORE the victim
+    scan even when the predicate still matches — and must report
+    n_updated=0, not the would-be victim count."""
+    out1 = table.update_where(
+        "content like 'secret%' or content like 'X%'",
+        {"content": F.lit("X")}, batch_id=1,
+    )
+    assert out1["n_updated"] == 2
+    after = state(table)
+    replay = table.update_where(
+        "content like 'secret%' or content like 'X%'",  # still matches
+        {"content": F.lit("Y")}, batch_id=1,
+    )
+    assert replay.get("skipped") and replay["n_updated"] == 0
+    assert state(table) == after
+    # same contract for delete_where
+    d1 = table.delete_where("content = 'X'", batch_id=2)
+    assert d1["n_deleted"] == 2
+    d2 = table.delete_where("true", batch_id=2)
+    assert d2.get("skipped") and d2["n_deleted"] == 0
+
+
+def test_point_ops_handle_bucket_shared_files(spark, tmp_path):
+    """A physical file SHARED by two buckets (partition-index collision)
+    must contribute an ownership pair PER bucket — deleting one key from
+    each sharing bucket must hit both, not silently skip the second."""
+    t = LakeTable(spark, str(tmp_path / "shared"), num_buckets=8,
+                  files_per_bucket=1)
+    rows = [(i, f"r{i}", f"p{i}", f"c{i}", "upsert", f"v{i}") for i in range(200)]
+    t.merge_upsert(
+        spark.createDataFrame(rows, SCHEMA), KEYS, ORDER,
+        batch_id=0, op_col="op",
+    )
+    m = t.current_manifest()
+    owners = {
+        bn: bs for bn, bs in m.get("file_owners", {}).items() if len(bs) >= 2
+    }
+    assert owners, "fixture must produce at least one shared file"
+    bn, (b1, b2, *_rest) = next(iter(owners.items()))
+    # one live key from each sharing bucket
+    keyed = t.read_state().select(
+        "repo", "path", "__bucket"
+    ).collect()
+    k1 = next({"repo": r["repo"], "path": r["path"]} for r in keyed
+              if r["__bucket"] == int(b1))
+    k2 = next({"repo": r["repo"], "path": r["path"]} for r in keyed
+              if r["__bucket"] == int(b2))
+    out = t.update_keys([k1, k2], {"content": F.lit("HIT")}, batch_id=1)
+    assert out["n_updated"] == 2, (out, t.last_delete_stats)
+    hit = t.to_df().filter("content = 'HIT'").count()
+    assert hit == 2
+    out = t.delete_keys([k1, k2], batch_id=2)
+    assert out["n_deleted"] == 2, (out, t.last_delete_stats)
+
+
 def test_update_keys_prunes_and_updates(spark, tmp_path):
     """Point updates run the same bloom/slice funnel as delete_keys:
     candidate files << touched buckets' files, absent keys skip without
