@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_final_filter": Q.q_corpus_final_filter,
         "bm25_search": Q.q_bm25_search,
         "chunk_windows": Q.q_chunk_windows,
+        "text_char_entropy": Q.q_text_char_entropy,
         # text analysis
         "text_tokens": Q.q_text_tokens,
         "text_quality": Q.q_text_quality,
@@ -680,6 +681,33 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[s.s + 1 : s.s + 32], ' ') as chunk_text
             from tok, unnest(range(0, len(w), 24)) as s(s)
             where len(w) > 0
+        """,
+        # character-level Shannon entropy (gibberish/boilerplate signal):
+        # per-(doc, char) partial floor-quantized at the coarse 1e4 before
+        # the order-free integer sum; doc length rides the explode
+        "text_char_entropy": """
+            with ch as (
+                select doc_id, length(text) as n,
+                       unnest(regexp_extract_all(text, '.')) as ch
+                from documents
+            ), cc as (
+                select doc_id, n, ch, count(*) as c from ch group by 1, 2, 3
+            ), q as (
+                select doc_id, n,
+                       cast(floor(c * -ln(c / cast(n as double)) * 10000)
+                            as bigint) as q
+                from cc
+            ), s as (
+                select doc_id, n, count(*) as distinct_chars,
+                       cast(sum(q) as bigint) as s4
+                from q group by 1, 2
+            )
+            select doc_id,
+                   cast(n as bigint) as n_chars,
+                   cast(distinct_chars as bigint) as distinct_chars,
+                   floor(cast(s4 as double) / cast(n as double)) / 10000
+                       as char_entropy
+            from s
         """,
         # portable 60-bit SimHash: per-bit +/-1 sums over md5-derived token
         # hashes, prefix-bucketed hamming join (prefix_bits=12 -> shift 48)

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     # round-4 fourth-session additions
     "bm25_search",
     "chunk_windows",
+    "text_char_entropy",
 ]
 
 

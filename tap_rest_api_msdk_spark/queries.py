@@ -1593,3 +1593,44 @@ def q_chunk_windows(spark, sf_dir):
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def q_text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/boilerplate detector (low entropy = repeated runs,
+    high = encoding noise). entropy = sum_c (c/n) * -ln(c/n) computed
+    as (1/n) * sum_c [c * -ln(c/n)], with the per-(doc, char) partial
+    floor-quantized at the coarse 1e4 BEFORE the order-free integer
+    sum (single-transcendental treatment as text_unigram_surprisal).
+
+    Scale shape: one scan; the doc length rides the explode projection
+    (no self-join, no window), one aggregate tree. n <= doc length and
+    the quantized partials are < 7e4 * n, so the integer sum fits a
+    bigint exactly in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+    )
+    cc = ch.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    q = cc.select(
+        "doc_id",
+        "n",
+        F.floor(
+            (F.col("c") * -F.log(F.col("c") / F.col("n").cast("double"))) * 10000
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    s = q.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).alias("distinct_chars"), F.sum("q").alias("s4")
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.col("distinct_chars").cast("long").alias("distinct_chars"),
+        (F.floor(F.col("s4").cast("double") / F.col("n").cast("double")) / 10000).alias(
+            "char_entropy"
+        ),
+    )

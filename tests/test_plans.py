@@ -232,6 +232,16 @@ def test_chunk_windows_single_scan_no_shuffle(spark):
     assert plan.count("FileScan") == 1
 
 
+def test_char_entropy_no_join_single_scan(spark):
+    """Char entropy carries the doc length through the explode — no
+    self-join, no window; one scan feeding a partial-aggregated tree."""
+    plan = plan_of(QUERIES["text_char_entropy"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+
+
 def test_unigram_surprisal_single_corpus_pass_shape(spark):
     """r3 verdict item #7: no tok.count() job — the total folds out of the
     cached counts aggregate; the scoring join broadcasts the counts."""
