@@ -93,6 +93,14 @@ def test_chaos_replay_reconverges(spark, wal, tmp_path, seed):
         if rng.random() < 0.3:
             table.compact()
             table.vacuum()
+        if rng.random() < 0.3:
+            # incremental binpack mid-chaos: CDC-invisible maintenance
+            # whose bucket-level claims must coexist with every sink
+            # mode's commits and the duplicate deliveries above
+            table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+        if rng.random() < 0.15:
+            # layout evolution mid-chaos (also oracle-invariant)
+            table.rebucket(rng.choice([4, 8, 16]))
 
     got = {
         (r.repo, r.path): (r.seq, r.commit)
