@@ -2946,19 +2946,21 @@ class LakeTable:
         return df.filter(~purge)
 
     def _rewrite_job(self, df, affected: Sequence[int], epoch: int, m: dict,
-                     key_index: bool):
+                     key_index: bool, files_per_bucket: Optional[int] = None):
         """One bucket-space rewrite job: salt, repartition, write a fresh
         epoch dir, index the part files, harvest sizes/zone-stats (+ key
         blooms when asked) and derive the per-bucket file/slice claims.
         Shared by full compaction and bucket-granular compaction — the
-        two differ only in WHICH buckets they rewrite."""
+        two differ only in WHICH buckets they rewrite.
+        ``files_per_bucket`` overrides the parallelism-derived slice
+        count (must be a power of two <= 64 for residue nesting)."""
         # unique per write job: concurrent writers must never share a
         # physical directory (mode="overwrite" would eat each other's
         # files); the manifest, not the dir name, defines the snapshot
         out_dir = os.path.join(
             self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
         )
-        S = self._fpb(len(affected))
+        S = files_per_bucket if files_per_bucket else self._fpb(len(affected))
         k_parts = max(1, len(affected) * S)
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
@@ -3023,6 +3025,7 @@ class LakeTable:
         min_input_files: int = 4,
         tombstone_watermark: Optional[int] = None,
         key_index: bool = False,
+        target_file_bytes: Optional[int] = None,
     ) -> dict:
         """Incremental small-file compaction (Iceberg binpack analog):
         rewrite ONLY the buckets whose small-file count warrants it,
@@ -3045,11 +3048,18 @@ class LakeTable:
         racer's delta appended to a due bucket mid-rewrite stays
         pending (LWW re-applies it at read). ``tombstone_watermark``
         purges delete tombstones with replication key <= the watermark
-        from the rewritten buckets (same contract as ``compact``)."""
+        from the rewritten buckets (same contract as ``compact``).
+
+        ``target_file_bytes`` sizes the output: the per-bucket slice
+        count becomes the power of two nearest ceil(avg consumed bucket
+        bytes / target) (clamped to [1, 64] for residue nesting) instead
+        of the parallelism heuristic — the Iceberg binpack target-size
+        knob, so compacted files are predictably sized regardless of
+        cluster width."""
         for _attempt in range(3):
             out = self._compact_buckets_once(
                 buckets, small_file_bytes, min_input_files,
-                tombstone_watermark, key_index,
+                tombstone_watermark, key_index, target_file_bytes,
             )
             if out is not None:
                 return out
@@ -3062,6 +3072,7 @@ class LakeTable:
         min_input_files: int,
         tombstone_watermark: Optional[int],
         key_index: bool,
+        target_file_bytes: Optional[int] = None,
     ) -> Optional[dict]:
         m = self.current_manifest()
         if m is None:
@@ -3095,13 +3106,28 @@ class LakeTable:
             return {"skipped": True, "reason": "no bucket over the small-file threshold"}
 
         due = sorted(int(b) for b in consumed)
+        fpb = None
+        if target_file_bytes:
+            # size the output files: slices per bucket = nearest power of
+            # two to ceil(avg consumed bucket bytes / target), clamped to
+            # [1, 64] so residues keep nesting across commit depths
+            total = sum(
+                sizes.get(os.path.basename(f), 0)
+                for b_, d_ in consumed.values()
+                for f in set(b_ + d_)
+            )
+            want = max(1, -(-total // (len(due) * int(target_file_bytes))))
+            fpb = 1
+            while fpb < want and fpb < 64:
+                fpb *= 2
         df = self.read_state(buckets=due, manifest=m)
         df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
         # full-bucket rewrite: the new files legitimately claim every
         # residue the job computed for them (no partial-granule caveat)
         _by_index, new_files, new_meta, new_sizes, new_stats, new_blooms = (
-            self._rewrite_job(df, due, epoch, m, key_index)
+            self._rewrite_job(df, due, epoch, m, key_index,
+                              files_per_bucket=fpb)
         )
         files_in = len({f for b_, d_ in consumed.values() for f in b_ + d_})
 

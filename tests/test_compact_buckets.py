@@ -171,6 +171,33 @@ def test_file_index_maintained(spark, table):
     assert [r["id"] for r in hit.collect()] == [5]
 
 
+def test_target_file_bytes_sizes_output(spark, table):
+    """The binpack target-size knob: a huge target collapses each bucket
+    to ONE slice (one file); a tiny target fans out to more slices —
+    always a power of two <= 64, state always identical."""
+    before = snap(table)
+    out = table.compact_buckets(
+        buckets=list(range(4)), target_file_bytes=1 << 40
+    )
+    assert not out.get("skipped")
+    m = table.current_manifest()
+    # one slice per bucket: every slice_meta entry claims depth 1
+    for b, bmeta in m["slice_meta"].items():
+        for ent in bmeta.values():
+            assert int(ent[0]) == 1, (b, ent)
+    assert snap(table) == before
+    # tiny target: more slices per bucket, still a nesting power of two
+    out = table.compact_buckets(buckets=list(range(4)), target_file_bytes=1024)
+    assert not out.get("skipped")
+    m = table.current_manifest()
+    depths = {
+        int(ent[0]) for bmeta in m["slice_meta"].values() for ent in bmeta.values()
+    }
+    assert depths and all(d & (d - 1) == 0 and d <= 64 for d in depths)
+    assert max(depths) > 1
+    assert snap(table) == before
+
+
 def test_auto_compact_mode_typo_raises(spark, tmp_path):
     """A misspelled auto_compact_mode must raise, never silently fall
     through to the O(table) full rewrite."""
