@@ -336,6 +336,55 @@ def test_racing_commit_to_compacted_bucket_recomputes(spark, table, tmp_path):
     assert table.current_manifest()["version"] == out["version"]
 
 
+def test_racing_fold_forces_recompute_not_corruption(spark, table):
+    """Maintenance x maintenance: a fold_due landing between the
+    binpack's read and publish rewrites due buckets' bases — the binpack
+    must recompute (or rebase safely), never drop the fold's result."""
+    racer = LakeTable(spark, table.path, num_buckets=4)
+    before = snap(table)
+    real_publish = table._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            racer.fold_due(k_fold=1)  # consume pending delta chains
+        return real_publish(manifest)
+
+    table._publish = racing_publish
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=2)
+    table._publish = real_publish
+    assert not out.get("skipped"), out
+    assert snap(table) == before
+    assert not table.current_manifest().get("deltas")
+
+
+def test_racing_rebucket_forces_recompute(spark, table):
+    """A rebucket landing mid-binpack changes every bucket's file set
+    AND the bucket count — the binpack must recompute under the new
+    layout, and the final state must be exact."""
+    racer = LakeTable(spark, table.path, num_buckets=4)
+    before = snap(table)
+    real_publish = table._publish
+    injected = {"done": False}
+
+    def racing_publish(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            racer.rebucket(8)
+        return real_publish(manifest)
+
+    table._publish = racing_publish
+    out = table.compact_buckets(small_file_bytes=32 << 20, min_input_files=1)
+    table._publish = real_publish
+    m = table.current_manifest()
+    assert int(m["num_buckets"]) == 8
+    assert snap(table) == before
+    if not out.get("skipped"):
+        # if the binpack landed, it must have landed in the NEW space
+        assert out["version"] == m["version"]
+
+
 def test_racing_delta_stays_pending(spark, table):
     """A racer's MOR delta appended to a due bucket mid-compaction is NOT
     consumed: it stays pending and LWW re-applies it at read."""
