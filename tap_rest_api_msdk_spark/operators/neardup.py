@@ -28,6 +28,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tap_rest_api_msdk_spark.functions.portable_hash import hash60
 
@@ -427,6 +428,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint: str = "auto",
     _round_hook=None,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> (node, component)
     where component = min node id reachable (the canonical survivor).
@@ -454,6 +456,52 @@ def connected_components(
     spark = pairs.sparkSession
     n_parts = _loop_shuffle_width(spark)
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if small_graph_edges and _round_hook is None and checkpoint == "auto":
+        # Small-graph fast path: near-dup pair lists are usually TINY
+        # relative to the corpus (that is the point of banded LSH), and
+        # the iterative loop pays O(log diameter) full Spark jobs in
+        # fixed overhead regardless of data size. The probe is ONE
+        # bounded job (limit N+1); within the bound, exact union-find on
+        # the driver with min-member labeling — the identical fixpoint —
+        # costs milliseconds. Above the bound (or under an explicit
+        # checkpoint strategy / test hook) the distributed loop below is
+        # the scale path, unchanged.
+        head = edges.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["a"], row["b"]
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+                parent.setdefault(a, find(a))
+                parent.setdefault(b, find(b))
+            comp_min: dict = {}
+            nodes = set()
+            for row in head:
+                nodes.add(row["a"])
+                nodes.add(row["b"])
+            roots = {nd: find(nd) for nd in nodes}
+            for nd, r in roots.items():
+                if r not in comp_min or nd < comp_min[r]:
+                    comp_min[r] = nd
+            id_type = edges.schema["a"].dataType
+            out_schema = T.StructType(
+                [T.StructField("node", id_type, True),
+                 T.StructField("comp", id_type, True)]
+            )
+            return spark.createDataFrame(
+                [(nd, comp_min[roots[nd]]) for nd in sorted(nodes)], out_schema
+            )
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

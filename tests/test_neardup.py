@@ -217,3 +217,27 @@ def test_contained_docs_skew_guard_bounds_anchor(spark):
     # all 20 identical docs' shingles exceed the df cap -> no anchors -> no
     # pairs (exact_dedup owns identical docs); the query must not explode
     assert out.count() == 0
+
+
+def test_small_graph_fast_path_matches_distributed(spark):
+    """The driver union-find fast path and the distributed min-label
+    loop must produce the identical (node, comp) labeling — including
+    chained merges and out-of-order edges."""
+    import random
+
+    from tap_rest_api_msdk_spark.operators.neardup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    for base in range(0, 500, 50):  # 10 clusters of chained nodes
+        members = [base * 101 + j for j in range(rng.randint(2, 9))]
+        rng.shuffle(members)
+        edges += list(zip(members[:-1], members[1:]))
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert fast and fast == dist
