@@ -63,8 +63,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Driver-gate rotation (r4 verdict item #5): the driver's CORRECTNESS
+# artifact runs only the FIRST 50 queries() entries. These 24 had no
+# driver row in r4 (the registry outgrew the cap), so they lead the dict
+# in r5 — every query gets a driver-green row at least every second
+# round. Accounting only: same queries, same callables, same oracles.
+_DRIVER_FIRST = [
+    "lww_latest_state_salted", "tumbling_window_counts",
+    "hopping_window_counts", "session_windows", "rollup_revenue",
+    "set_ops_active_users", "multimodal_image_features",
+    "multimodal_frame_sampling", "multimodal_audio_features",
+    "multimodal_png_features", "value_percentiles", "hist_value_percentiles",
+    "distinct_users_exact", "approx_distinct_users", "heavy_hitters_countmin",
+    "bloom_filter_join", "pricing_summary", "top_revenue_orders",
+    "join_enrich_broadcast", "local_supply_revenue",
+    "customers_without_orders", "order_priority_counts",
+    "customer_distribution", "promo_revenue",
+]
+
+
+def _rotate_for_driver(d: dict) -> dict:
+    lead = {k: d[k] for k in _DRIVER_FIRST if k in d}
+    return {**lead, **{k: v for k, v in d.items() if k not in lead}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate_for_driver({
         # CDC / reference-semantics operators
         "lww_latest_state": Q.q_lww_latest_state,
         "incremental_filter": Q.q_incremental_filter,
@@ -149,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": Q.q_order_priority_counts,
         "customer_distribution": Q.q_customer_distribution,
         "promo_revenue": Q.q_promo_revenue,
-    }
+    })
 
 
 _STOP_EN = "['the','and','of','to','in','is','that','it','for','was']"

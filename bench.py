@@ -374,7 +374,60 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+    # full detail: first line of output + a committed file — the driver's
+    # artifact captures only the last ~2000 chars of stdout, and r4's
+    # grown per-query dict pushed the single JSON line past that window
+    # (BENCH_r04.json parsed: null). Humans and the repo keep the detail;
+    # the DRIVER gets a compact final line that always fits.
     print(json.dumps(result))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH", "bench_detail_latest.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": result["metric"],
+        "value": result.get("value"),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "n_queries": len(queries_sec),
+        "shared_set_seconds": result.get("shared_set_seconds"),
+        "queries": {q: queries_sec[q] for q in SHARED_SET if q in queries_sec},
+        "detail": "BENCH/bench_detail_latest.json",
+    }
+    cdc_c = result.get("cdc_replay", {})
+    compact["cdc"] = {
+        k: cdc_c[k]
+        for k in (
+            "events",
+            f"events_per_sec_local{CPUS}",
+            f"events_per_sec_local{CPUS}_shredded",
+            "events_per_sec_local32_scalepair",
+            "events_per_sec_local8",
+            "scaling_events",
+            "scaling_efficiency_8_to_32",
+            "scaling_efficiency_2_to_8",
+        )
+        if k in cdc_c
+    }
+    st = result.get("steady_state_cdc", {})
+    compact["steady"] = {
+        k: st[k]
+        for k in (
+            "events_per_sec_cow",
+            "events_per_sec_cow_incremental",
+            "events_per_sec_cow_incremental_size",
+            "events_per_sec_mor",
+            "read_since_files",
+        )
+        if k in st
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard: the driver window is ~2000 chars
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -884,32 +884,49 @@ def q_text_unigram_surprisal(spark, sf_dir):
     its mean unigram surprisal -ln p(tok) under the CORPUS's own unigram
     distribution — low = boilerplate/common-token soup, high = rare-token
     noise; the standard perplexity-filter primitive without an external
-    LM. Two aggregates (corpus counts, per-doc mean over a broadcast-ish
-    join on token). The corpus total comes from a DOC-level
-    sum(size(tokens)) — a plain documents scan with no explode, no
-    shuffle of the token stream, and no cached intermediate to leak
+    LM. The corpus total comes from a DOC-level sum(size(tokens)) — a
+    plain documents scan with no explode, no shuffle of the token stream
     (count of exploded tokens == sum of per-doc array sizes).
+
+    Scale shape (the text_oov_rate device — r4 verdict item #2): ONE
+    corpus scan of the token stream, TWO exchanges, ZERO joins, and NO
+    broadcast of the unigram table — vocabulary scales with the corpus
+    (10^8-10^9 distinct tokens at web scale), so broadcasting it is an
+    executor OOM by construction. Instead, one explicit repartition on
+    the token makes hashpartitioning(tok) satisfy BOTH the (tok, doc_id)
+    partial aggregate (subset rule) and the per-token corpus-count
+    window, so p(tok) attaches to each doc's rows in place; the per-doc
+    rollup is the second exchange. Skew: a stop-word's tok-partition is
+    large, but the (tok, doc_id) pre-aggregate bounds rows by distinct
+    docs and the window computes one count — spill-safe.
+
     Per-token surprisal is floor-truncated at 1e-4: a deliberately COARSE
     quantum, because the quantized value flips when ln (the one
     transcendental, not correctly rounded in either engine) lands within
     1 ulp of a boundary — at 1e-4 the boundary density is 100x lower
     than the previous 1e-6."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     tok = docs.select("doc_id", F.explode(tokens).alias("tok"))
-    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = docs.agg(F.sum(F.size(tokens)).cast("long")).collect()[0][0]
+    td = tok.repartition("tok").groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    corpus_c = F.sum("k").over(Window.partitionBy("tok"))
     # per-token surprisal quantized to an INTEGER (floor(1e4 * -ln p))
     # before summing: the distributed sum is then exact and order-free —
     # a double sum would be partition-order-dependent (r1 lesson; same
-    # device as the HLL/histogram sketches)
-    s_tok = F.floor(-F.log(F.col("c") / F.lit(float(total))) * 1e4).cast("long")
+    # device as the HLL/histogram sketches). Each (tok, doc_id) group
+    # contributes k * s_tok — identical to summing per occurrence.
+    s_tok = F.floor(-F.log(corpus_c / F.lit(float(total))) * 1e4).cast("long")
     scored = (
-        tok.join(F.broadcast(corpus), "tok")
+        td.select("doc_id", "k", (s_tok * F.col("k")).alias("s4k"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(s_tok).alias("s4"),
+            F.sum("k").alias("n_tok"),
+            F.sum("s4k").alias("s4"),
         )
     )
     return scored.select(

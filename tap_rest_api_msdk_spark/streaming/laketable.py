@@ -266,8 +266,16 @@ def assemble_manifest_buckets(
 def valid_tag_name(name: str) -> bool:
     """One rule for BOTH tag-resolution paths (LakeTable methods and the
     data source's option strings): the safe charset, minus the reserved
-    '.tmp.' marker for in-flight files."""
-    return bool(re.fullmatch(r"[A-Za-z0-9._-]+", name)) and ".tmp." not in name
+    '.tmp.' marker for in-flight files, minus ALL-DIGIT names — both
+    ``resolve_version`` and the data source's version option try
+    ``int(ref)`` FIRST, so a tag named '2024' could never be resolved by
+    name (it would silently time-travel to manifest v2024 instead);
+    rejecting it at creation keeps every creatable tag resolvable."""
+    return (
+        bool(re.fullmatch(r"[A-Za-z0-9._-]+", name))
+        and ".tmp." not in name
+        and not re.fullmatch(r"[0-9]+", name)
+    )
 
 
 def read_tag_version(table_path: str, name: str) -> Optional[int]:
@@ -926,6 +934,16 @@ class LakeTable:
         buckets carry unchanged rows along — filter by
         ``replication_key > bookmarks[stream]@version`` for an exact
         stream (the caller knows its stream name).
+
+        RAISES on an expired window (behavior change vs pre-r4): if any
+        interior manifest in (version, HEAD] was removed by
+        ``expire_manifests``, the walk raises ValueError instead of
+        silently falling back to the endpoint diff — the old fallback
+        misreported every file added-then-removed inside the gap. The
+        operational contract is the Iceberg one: size
+        ``expire_manifests(retain_last=...)`` (and ``vacuum`` retention)
+        to cover your SLOWEST consumer's polling interval, or pin its
+        anchor with a tag (tagged versions never expire).
         """
         # CORE head only: schema/version are core fields and the walk's
         # section-ref step-diff handles an unassembled end manifest — a
@@ -1505,25 +1523,31 @@ class LakeTable:
                 f"delete_where needs an integral first order_by column to "
                 f"mint a winning tombstone seq; {bump_col!r} is {dtype!r}"
             )
-        victims = live.filter(predicate)
-        tomb = victims.withColumn(
-            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
-        ).withColumn(op_col, F.lit("delete"))
-        # one bounded action: the victim count gates the commit (an empty
-        # tombstone batch must NOT burn the writer's ledger slot — the
-        # same batch_id may later carry a real batch on replay paths)
-        n = victims.count()
-        if n == 0:
-            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
-        stats = self.merge_upsert(
-            tomb,
-            keys=keys,
-            order_by=order_by,
-            batch_id=batch_id,
-            op_col=op_col,
-            mode=mode,
-            writer_id=writer_id,
-        )
+        # persist the victim set across BOTH actions (the gating count and
+        # the merge write): without it the full victim scan — candidate
+        # file read + LWW resolve + predicate — evaluates twice per call
+        victims = live.filter(predicate).persist()
+        try:
+            tomb = victims.withColumn(
+                bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
+            ).withColumn(op_col, F.lit("delete"))
+            # the victim count gates the commit (an empty tombstone batch
+            # must NOT burn the writer's ledger slot — the same batch_id
+            # may later carry a real batch on replay paths)
+            n = victims.count()
+            if n == 0:
+                return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+            stats = self.merge_upsert(
+                tomb,
+                keys=keys,
+                order_by=order_by,
+                batch_id=batch_id,
+                op_col=op_col,
+                mode=mode,
+                writer_id=writer_id,
+            )
+        finally:
+            victims.unpersist()
         stats["n_deleted"] = 0 if stats.get("skipped") else n
         return stats
 
@@ -1610,24 +1634,27 @@ class LakeTable:
                 f"update_where needs an integral first order_by column to "
                 f"mint a winning update seq; {bump_col!r} is {dtype!r}"
             )
-        victims = live.filter(predicate)
-        upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
-            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
-        )
-        # one bounded action gates the commit (empty batch must not burn
-        # the writer's ledger slot — same contract as delete_where)
-        n = victims.count()
-        if n == 0:
-            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
-        stats = self.merge_upsert(
-            upd,
-            keys=keys,
-            order_by=order_by,
-            batch_id=batch_id,
-            op_col=op_col,
-            mode=mode,
-            writer_id=writer_id,
-        )
+        # persist across the gating count AND the merge write (one victim
+        # scan per call, not two — same contract as delete_where)
+        victims = live.filter(predicate).persist()
+        try:
+            upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
+                bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(dtype)
+            )
+            n = victims.count()
+            if n == 0:
+                return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+            stats = self.merge_upsert(
+                upd,
+                keys=keys,
+                order_by=order_by,
+                batch_id=batch_id,
+                op_col=op_col,
+                mode=mode,
+                writer_id=writer_id,
+            )
+        finally:
+            victims.unpersist()
         # a commit suppressed by a racer's ledger advance applied nothing
         stats["n_updated"] = 0 if stats.get("skipped") else n
         return stats
@@ -1666,21 +1693,27 @@ class LakeTable:
         if out is None:
             return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
         keys, order_by, bump_col, bump_type, victims = out
-        tomb = victims.withColumn(
-            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
-        ).withColumn(op_col, F.lit("delete"))
-        n = victims.count()
-        if n == 0:
-            return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
-        stats = self.merge_upsert(
-            tomb,
-            keys=keys,
-            order_by=order_by,
-            batch_id=batch_id,
-            op_col=op_col,
-            mode=mode,
-            writer_id=writer_id,
-        )
+        # persist across the gating count AND the merge write (one pruned
+        # candidate-file read + LWW resolve per call, not two)
+        victims = victims.persist()
+        try:
+            tomb = victims.withColumn(
+                bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
+            ).withColumn(op_col, F.lit("delete"))
+            n = victims.count()
+            if n == 0:
+                return {"skipped": True, "batch_id": batch_id, "n_deleted": 0}
+            stats = self.merge_upsert(
+                tomb,
+                keys=keys,
+                order_by=order_by,
+                batch_id=batch_id,
+                op_col=op_col,
+                mode=mode,
+                writer_id=writer_id,
+            )
+        finally:
+            victims.unpersist()
         stats["n_deleted"] = 0 if stats.get("skipped") else n
         return stats
 
@@ -1717,21 +1750,27 @@ class LakeTable:
         if out is None:
             return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
         keys, order_by, bump_col, bump_type, victims = out
-        upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
-            bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
-        )
-        n = victims.count()
-        if n == 0:
-            return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
-        stats = self.merge_upsert(
-            upd,
-            keys=keys,
-            order_by=order_by,
-            batch_id=batch_id,
-            op_col=op_col,
-            mode=mode,
-            writer_id=writer_id,
-        )
+        # persist across the gating count AND the merge write (one pruned
+        # candidate-file read + LWW resolve per call, not two)
+        victims = victims.persist()
+        try:
+            upd = self._apply_assignments(victims, set_values, dtypes).withColumn(
+                bump_col, (F.col(bump_col) + F.lit(int(seq_bump))).cast(bump_type)
+            )
+            n = victims.count()
+            if n == 0:
+                return {"skipped": True, "batch_id": batch_id, "n_updated": 0}
+            stats = self.merge_upsert(
+                upd,
+                keys=keys,
+                order_by=order_by,
+                batch_id=batch_id,
+                op_col=op_col,
+                mode=mode,
+                writer_id=writer_id,
+            )
+        finally:
+            victims.unpersist()
         stats["n_updated"] = 0 if stats.get("skipped") else n
         return stats
 
@@ -2547,8 +2586,13 @@ class LakeTable:
         if sections_accounting is not None:
             plan.update(sections_accounting)
         self.last_cdc_diff_plan = plan
+        # key fields in the KEYS-LIST order (not schema field order): the
+        # populated path selects *keys first, so the empty-window frame
+        # must match it column-for-column or positional consumers/appends
+        # break when merge-key order differs from the schema's field order
+        _by_name = {f.name: f for f in schema.fields}
         out_schema = T.StructType(
-            [f for f in schema.fields if f.name in keys]
+            [_by_name[k] for k in keys]
             + [
                 T.StructField("change", T.StringType(), False),
                 T.StructField(

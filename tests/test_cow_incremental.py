@@ -203,6 +203,34 @@ def test_cdc_diff_from_empty_is_all_inserts(spark, tmp_path):
     assert {r["id"]: r["change"] for r in d.collect()} == {2: "insert"}
 
 
+def test_cdc_diff_empty_window_column_order_matches_populated(spark, tmp_path):
+    """r4 ADVICE: when merge-key order differs from the schema's field
+    order, the empty-window early return must still lead with the keys in
+    KEYS-LIST order (same as the populated path's select) — a positional
+    consumer unioning consecutive windows would otherwise mix frames."""
+    rows = spark.createDataFrame(
+        [(10, "k1", 0, "a"), (20, "k2", 0, "b")],
+        "a long, b string, seq long, text string",
+    )
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    # keys REVERSED vs schema order: (b, a) while schema leads (a, b)
+    t.merge_upsert(rows, keys=["b", "a"], order_by=["seq"], batch_id=0,
+                   op_col=None)
+    v0 = t.current_manifest()["version"]
+    empty = t.cdc_diff(v0)  # HEAD -> HEAD: zero touched granules
+    assert empty.count() == 0
+    t.merge_upsert(
+        spark.createDataFrame([(30, "k3", 1, "c")],
+                              "a long, b string, seq long, text string"),
+        keys=["b", "a"], order_by=["seq"], batch_id=1, op_col=None)
+    populated = t.cdc_diff(v0)
+    assert populated.count() == 1
+    assert empty.columns == populated.columns == [
+        "b", "a", "change", "before", "after"
+    ]
+    assert empty.schema == populated.schema
+
+
 def test_time_travel_across_fold_commits(spark, tmp_path):
     """Snapshot isolation: reading at a version BEFORE later folds must
     return the state as of that version (fold commits rewrite files but

@@ -242,12 +242,18 @@ def test_char_entropy_no_join_single_scan(spark):
     assert "partial_" in plan
 
 
-def test_unigram_surprisal_single_corpus_pass_shape(spark):
-    """r3 verdict item #7: no tok.count() job — the total folds out of the
-    cached counts aggregate; the scoring join broadcasts the counts."""
+def test_unigram_surprisal_join_free_shape(spark):
+    """r4 verdict item #2: the corpus unigram table must NOT broadcast
+    (vocabulary scales with the corpus — executor OOM at web scale) and
+    must not join at all — p(tok) attaches via the count-window device:
+    ONE token-stream scan, TWO exchanges, ZERO joins, no broadcast."""
     plan = plan_of(QUERIES["text_unigram_surprisal"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    assert "Broadcast" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_" in plan
 
 
 def test_round4_new_queries_shaped(spark):

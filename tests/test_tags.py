@@ -60,6 +60,12 @@ def test_tag_overwrite_and_validation(spark, tmp_path):
     assert v1 > v0 and t.tags()["prod"] == v1
     with pytest.raises(ValueError, match="invalid tag name"):
         t.tag("bad/name")
+    # r4 ADVICE: all-digit names are unresolvable by construction —
+    # resolve_version tries int(ref) first, so tag '2024' would silently
+    # time-travel to manifest v2024; reject at creation
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("2024")
+    assert t.resolve_version("7") == 7  # numeric strings still coerce
     with pytest.raises(ValueError, match="missing or expired"):
         t.tag("ghost", version=99)
     # a second handle sees the same tags (files, not memory)
