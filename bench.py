@@ -105,6 +105,43 @@ BENCH_QUERIES = [
 ]
 
 
+def _dram_probe() -> dict:
+    """Host DRAM-bandwidth saturation probe (numpy streaming copy, 8 vs 32
+    processes). This single number explains the thread/executor 8->32
+    scaling ceilings: if aggregate bandwidth barely grows past 8 cores,
+    NO memory-streaming job (parquet decode, shuffle, string copy) can
+    strong-scale that pair on one box — the resource a real cluster
+    multiplies per node is already saturated at N."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def work(q):
+        buf = np.frombuffer(np.random.bytes(64 << 20), dtype=np.uint8)
+        n = 0
+        t_end = time.time() + 4
+        while time.time() < t_end:
+            b = buf.copy()
+            n += b.nbytes * 2
+        q.put(n)
+
+    out = {}
+    for nproc in (8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=work, args=(q,)) for _ in range(nproc)]
+        t0 = time.time()
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        out[f"gbps_{nproc}procs"] = round(total / (time.time() - t0) / 1e9, 1)
+    out["bandwidth_scaling_8_to_32"] = round(
+        (out["gbps_32procs"] / out["gbps_8procs"]) / 4, 2
+    )
+    return out
+
+
 def make_session(cores: int):
     from tap_rest_api_msdk_spark.session import get_spark
 
@@ -200,34 +237,79 @@ def main() -> None:
             f"events_per_sec_local{CPUS}_shredded": round(WAL_EVENTS / t_shred),
         }
         if RUN_SCALING:
-            # full-size WAL (amortizes per-run constants into the parallel
-            # fraction), best-of-2 against the host's bursty 2-3x noise
-            n_scale = WAL_EVENTS
-            times = {}
-            for cores in (32, 8, 2):  # widest first (warm JVM parity)
-                s = make_session(cores)
-                wal_df = s.read.parquet(wal_path)
-                from tap_rest_api_msdk_spark.streaming.pipeline import (
-                    PipelineConfig,
-                    run_batch_replay,
-                )
+            # ---- scaling evidence, three measurements (BENCH/BASELINE.md
+            # §r5 has the full physics decomposition):
+            # (1) EXECUTOR pair — the north rule's own shape (N vs 4N
+            #     EXECUTORS): local-cluster[2,4] vs local-cluster[8,4] —
+            #     real separate executor JVMs + RPC shuffle, fresh JVM per
+            #     leg (subprocess), big WAL so each leg runs >=25s.
+            # (2) WEAK-scaling variant of the same pair: input/4 on the
+            #     small leg (constant work per executor — the form that
+            #     matches how a real cluster is actually grown).
+            # (3) THREAD pair local[2]->local[8]->local[32] on the 4M WAL
+            #     (cross-round continuity with r1-r4's reported numbers).
+            # Plus the host DRAM-bandwidth probe that bounds (1): this box
+            # saturates ~42 GB/s at 8 cores (copy test), so ANY
+            # memory-streaming job is capped near 0.35 on the 8->32 leg —
+            # a per-node resource that scales WITH nodes on a real cluster.
+            import subprocess
 
-                conf_kw = dict(
-                    stream="bench", payload_col="payload",
-                    payload_schema=payload_schema, num_buckets=64,
-                )
-                best = float("inf")
-                for i in range(3):  # best-of-3: host noise swings 2-3x
-                    t0 = time.time()
-                    run_batch_replay(
-                        s, wal_df, os.path.join(base, f"t{cores}_{i}"),
-                        PipelineConfig(**conf_kw),
-                    )
-                    best = min(best, time.time() - t0)
-                times[cores] = best
-                s.stop()
+            here = os.path.dirname(os.path.abspath(__file__))
+            leg = os.path.join(here, "scripts", "scaling_leg.py")
+
+            def run_leg(wal, master, repeats=2):
+                env = dict(os.environ, LEG_REPEATS=str(repeats), LEG_FPB="4")
+                out = subprocess.run(
+                    [sys.executable, leg, wal, master, base],
+                    capture_output=True, text=True, env=env, timeout=1200,
+                ).stdout.strip().splitlines()
+                return json.loads(out[-1])["best"]
+
+            n_strong = int(os.environ.get("BENCH_SCALING_EVENTS", "32000000"))
+            s = make_session(CPUS)
+            from tap_rest_api_msdk_spark.sources.wal_synth import synth_repo_wal as _synth
+
+            wal_big = os.path.join(base, "wal_scale")
+            _synth(s, n_strong, n_repos=2000, n_paths=5000, partitions=128
+                   ).write.mode("overwrite").parquet(wal_big)
+            wal_small = os.path.join(base, "wal_scale_small")
+            _synth(s, n_strong // 4, n_repos=2000, n_paths=5000, partitions=64
+                   ).write.mode("overwrite").parquet(wal_small)
+            for p in (wal_big, wal_small):
+                with open(p + ".schema.json", "w") as fh:
+                    fh.write(payload_schema.json())
+            s.stop()
+
+            t_4n = run_leg(wal_big, "local-cluster[8,4,10240]")
+            t_n = run_leg(wal_big, "local-cluster[2,4,10240]")
+            t_n_weak = run_leg(wal_small, "local-cluster[2,4,10240]")
+            cdc.update({
+                "scaling_events": n_strong,
+                "executor_pair": "local-cluster[2,4] -> local-cluster[8,4] "
+                                 "(N=2 -> 4N=8 executors x 4 cores)",
+                "seconds_2exec": round(t_n, 2),
+                "seconds_8exec": round(t_4n, 2),
+                "events_per_sec_2exec": round(n_strong / t_n),
+                "events_per_sec_8exec": round(n_strong / t_4n),
+                "scaling_efficiency_exec_strong": round((t_n / t_4n) / 4, 3),
+                "scaling_efficiency_exec_weak": round(t_n_weak / t_4n, 3),
+            })
+
+            # (3) thread pair on the 4M WAL (r1-r4 continuity): one fresh
+            # JVM per core count, 3 replays inside it (run0 warms JIT),
+            # best-of-3
+            with open(wal_path + ".schema.json", "w") as fh:
+                fh.write(payload_schema.json())
+            times = {}
+            for cores in (32, 8, 2):
+                env = dict(os.environ, LEG_REPEATS="3", LEG_FPB="4")
+                out = subprocess.run(
+                    [sys.executable, leg, wal_path, f"local[{cores}]", base],
+                    capture_output=True, text=True, env=env, timeout=1200,
+                ).stdout.strip().splitlines()
+                times[cores] = json.loads(out[-1])["best"]
             thr32, thr8, thr2 = (
-                n_scale / times[32], n_scale / times[8], n_scale / times[2]
+                WAL_EVENTS / times[32], WAL_EVENTS / times[8], WAL_EVENTS / times[2]
             )
             cdc.update(
                 {
@@ -239,10 +321,13 @@ def main() -> None:
                     "events_per_sec_local2": round(thr2),
                     "scaling_efficiency_2_to_8": round((thr8 / thr2) / 4, 3),
                     "scaling_efficiency_8_to_32": round((thr32 / thr8) / 4, 3),
-                    "scaling_pair": "local[2] -> local[8] and local[8] -> "
-                                    "local[32] (N -> 4N cores, same input)",
                 }
             )
+
+            # host DRAM-bandwidth ceiling probe (bounds every 8->32 pair
+            # on this box; on a real cluster this resource scales with
+            # node count — see BENCH/BASELINE.md r5)
+            cdc["dram_probe"] = _dram_probe()
         if RUN_STEADY:
             # steady-state CDC (the north rule's actual regime): many small
             # batches into a big table — compares the three sink modes on
@@ -406,8 +491,13 @@ def main() -> None:
             "events_per_sec_local32_scalepair",
             "events_per_sec_local8",
             "scaling_events",
+            "events_per_sec_8exec",
+            "events_per_sec_2exec",
+            "scaling_efficiency_exec_strong",
+            "scaling_efficiency_exec_weak",
             "scaling_efficiency_8_to_32",
             "scaling_efficiency_2_to_8",
+            "dram_probe",
         )
         if k in cdc_c
     }

@@ -263,6 +263,30 @@ def assemble_manifest_buckets(
     return assemble_manifest(table_path, pruned)
 
 
+def _stat_bounds(entry, col: str, order_col):
+    """``[lo, hi]`` of ``col`` from a ``file_stats`` entry, or None.
+
+    New format (r5): ``{col: [lo, hi], ...}``. Legacy format (pre-r5
+    manifests): a bare ``[lo, hi]`` list that always meant the LWW
+    ordering column — honored for that column only, so upgraded tables
+    keep their existing pruning without a rewrite."""
+    if isinstance(entry, dict):
+        return entry.get(col)
+    if entry is not None and order_col is not None and col == order_col:
+        return entry
+    return None
+
+
+def _resolved(v):
+    """Commit-payload values (``bookmark_updates`` / ``extra_manifest``)
+    may be CALLABLES: they resolve lazily, after the merge's write action
+    and immediately before the CAS commit. This lets the pipeline overlap
+    its lineage-metrics job with the merge write (the bulk-load fast
+    path) while still landing exact bookmarks in the same atomic commit.
+    The callable should memoize — CAS retries resolve again."""
+    return v() if callable(v) else v
+
+
 def valid_tag_name(name: str) -> bool:
     """One rule for BOTH tag-resolution paths (LakeTable methods and the
     data source's option strings): the safe charset, minus the reserved
@@ -442,10 +466,21 @@ class LakeTable:
         path: str,
         num_buckets: int = 16,
         files_per_bucket: Optional[int] = None,
+        stats_columns: Optional[Sequence[str]] = None,
     ):
         self.spark = spark
         self.path = path
         self.num_buckets = num_buckets
+        # extra zone-map columns beyond the LWW ordering column (r4
+        # verdict item #6): every commit harvests [min, max] per listed
+        # column from the parquet footers it just wrote, and reads can
+        # file-prune on any of them (``read_range(col=...)``). A TABLE
+        # property: persisted in the manifest at first commit and
+        # manifest-authoritative on reopen, so every writer maintains the
+        # same maps. Typical use: the event-time column of an
+        # append-mostly table, so "events from March" touches March's
+        # files, not the table.
+        self.stats_columns = list(stats_columns) if stats_columns else []
         # cow_incremental: a granule folds when its pending delta chain
         # reaches ``fold_every`` files (the Hudi NUM_COMMITS compaction
         # trigger, applied per (bucket, slice) granule) — write
@@ -489,6 +524,19 @@ class LakeTable:
         m = self.current_manifest()
         if m and "num_buckets" in m:
             self.num_buckets = m["num_buckets"]
+        if m and m.get("stats_columns") is not None:
+            # stats_columns is a table property too: the committed value
+            # wins on reopen so every writer maintains the same zone maps
+            self.stats_columns = list(m["stats_columns"])
+
+    def _stat_cols(self, order_by) -> list:
+        """Zone-map column set for a write job: the LWW ordering column
+        (always, when numeric — the read_since/read_range workhorse) plus
+        the table's configured ``stats_columns``."""
+        first = (list(order_by) or [None])[0] if order_by else None
+        out = [first] if first else []
+        out += [c for c in self.stats_columns if c not in out]
+        return out
 
     def _fpb(self, n_affected: int) -> int:
         """Files (salt slices) per bucket for this commit: auto mode spreads
@@ -728,6 +776,7 @@ class LakeTable:
         min_order: Optional[float] = None,
         manifest: Optional[dict] = None,
         max_order: Optional[float] = None,
+        col_ranges: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """Snapshot read (with ``__bucket`` column); optionally restricted
         to a set of buckets — only that subset's files are listed (bucket
@@ -766,8 +815,17 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         stored = T.StructType(schema.fields + [T.StructField("__bucket", T.IntegerType(), True)])
         want = None if buckets is None else {int(b) for b in buckets}
-        bounded = min_order is not None or max_order is not None
-        stats = m.get("file_stats", {}) if bounded else {}
+        order0 = (m.get("order_by") or [None])[0]
+        # prune spec: {col: (lo, hi)} — the LWW ordering bounds plus any
+        # caller-supplied multi-column zone-map ranges (read_range(col=))
+        ranges: dict = {}
+        if min_order is not None or max_order is not None:
+            if order0 is None:
+                raise ValueError("order bounds need a table with order_by")
+            ranges[order0] = (min_order, max_order)
+        for c, (lo, hi) in (col_ranges or {}).items():
+            ranges[c] = (lo, hi)
+        stats = m.get("file_stats", {}) if ranges else {}
         files: set[str] = set()
         pairs: list[tuple[str, int]] = []  # (file basename, bucket) ownership
         listed: set[str] = set()  # unique files pre-prune (accounting)
@@ -777,12 +835,19 @@ class LakeTable:
                     for f in flist:
                         listed.add(f)
                         bn = os.path.basename(f)
-                        st = stats.get(bn)
-                        if st is not None and (
-                            (min_order is not None and st[1] < min_order)
-                            or (max_order is not None and st[0] > max_order)
-                        ):
-                            continue  # provably no rows inside the bounds
+                        entry = stats.get(bn)
+                        dead = False
+                        if entry is not None:
+                            for c, (lo, hi) in ranges.items():
+                                st = _stat_bounds(entry, c, order0)
+                                if st is not None and (
+                                    (lo is not None and st[1] < lo)
+                                    or (hi is not None and st[0] > hi)
+                                ):
+                                    dead = True  # provably outside bounds
+                                    break
+                        if dead:
+                            continue
                         files.add(f)
                         pairs.append((bn, int(b)))
         self.last_read_plan = {
@@ -790,12 +855,31 @@ class LakeTable:
             "files_scanned": len(files),
             "min_order": min_order,
             "max_order": max_order,
+            **({"col_ranges": {c: list(v) for c, v in col_ranges.items()}}
+               if col_ranges else {}),
         }
         if not files:
             return self.spark.createDataFrame([], stored)
         # schema evolution: read each file with the CURRENT table schema;
         # parquet reader fills missing columns with null by name.
         df = self.spark.read.schema(stored).parquet(*sorted(files))
+        # push the range predicates HERE, adjacent to the scan: the
+        # ownership projection below computes __file via
+        # input_file_name(), a NONDETERMINISTIC expression Catalyst will
+        # not push filters past — a caller-side filter lands above the
+        # semi-join and the scan shows no PushedFilters (found live in
+        # r5 verify). Row-filtering before LWW is sound for exactly the
+        # bounds that reached this method: the min_order lower bound by
+        # the winner-maximizes-order argument (read_since docstring), and
+        # max_order / col_ranges only arrive on no-deltas snapshots
+        # (to_df gates them), where every row is already its key's
+        # winner. Parquet row-group stats then skip inside files the
+        # whole-file zone map cannot prune.
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
         # ownership semi-join: a physical file may be SHARED by several
         # colliding buckets, and a later commit can rewrite one of them —
         # rows only count for (file, bucket) pairs the manifest still
@@ -823,6 +907,7 @@ class LakeTable:
         min_order: Optional[float] = None,
         manifest: Optional[dict] = None,
         max_order: Optional[float] = None,
+        col_ranges: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """Resolved state: LWW over base ∪ delta rows (time-travelable).
 
@@ -846,7 +931,10 @@ class LakeTable:
         m = manifest
         if m is None:
             return None
-        df = self.read(buckets, min_order=min_order, manifest=m, max_order=max_order)
+        df = self.read(
+            buckets, min_order=min_order, manifest=m, max_order=max_order,
+            col_ranges=col_ranges,
+        )
         if not m.get("deltas"):
             return df
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
@@ -891,6 +979,7 @@ class LakeTable:
         max_order,
         drop_deletes: bool = True,
         version: Optional[int] = None,
+        col: Optional[str] = None,
     ) -> Optional[DataFrame]:
         """Zone-map-pruned range read: exactly
         ``to_df(...).filter(lo <= order_col <= hi)`` but skipping files
@@ -898,16 +987,31 @@ class LakeTable:
         bounds. The backfill/audit read — "events from March" on a
         100 TB table should touch March's files, not the table.
 
-        Lower-bound pruning is sound under pending deltas for the same
-        LWW-winner argument as ``read_since``. Upper-bound FILE pruning
-        is only sound when every stored row is already its key's winner
-        (a resolved, no-deltas snapshot): otherwise a stale version
-        inside the bounds could survive while its true winner (above
-        ``max_order``, in a pruned file) never reaches the LWW resolve —
-        resurrecting the key. ``to_df`` therefore engages the upper
-        bound as a file prune only on delta-free manifests and degrades
-        it to a residual row filter otherwise; results are identical
+        ``col`` (r5, multi-column zone maps): range-read on a NON-ordering
+        column — e.g. the event-time column of a table LWW-ordered by
+        log sequence. The column must be listed in the table's
+        ``stats_columns`` for commits to have harvested its bounds;
+        without stats the read still returns exact results (residual
+        filter), it just cannot skip files. Semantics: current winners
+        whose ``col`` value falls in [lo, hi].
+
+        Lower-bound pruning on the ORDERING column is sound under pending
+        deltas for the same LWW-winner argument as ``read_since``.
+        Upper-bound file pruning — and ANY file pruning on a
+        non-ordering column — is only sound when every stored row is
+        already its key's winner (a resolved, no-deltas snapshot):
+        otherwise a stale version inside the bounds could survive while
+        its true winner (outside them, in a pruned file) never reaches
+        the LWW resolve — resurrecting the key. ``to_df`` therefore
+        engages those prunes only on delta-free manifests and degrades
+        them to residual row filters otherwise; results are identical
         either way. Scan accounting in ``self.last_read_plan``."""
+        if col is not None:
+            return self.to_df(
+                drop_deletes=drop_deletes,
+                version=version,
+                col_ranges={col: (min_order, max_order)},
+            )
         return self.to_df(
             drop_deletes=drop_deletes,
             version=version,
@@ -1063,49 +1167,59 @@ class LakeTable:
         return manifest
 
     @staticmethod
-    def _stats_of(by_index: dict, col: Optional[str]) -> dict:
-        """basename -> ``[min, max]`` of ``col`` for a write job's output
-        files — zone maps for the LWW ordering column, harvested from the
-        parquet FOOTER row-group statistics (metadata-only driver reads of
-        files this process just wrote; no data pages touched, no Spark
-        job). Only numeric bounds are recorded: string min/max may be
-        TRUNCATED in parquet footers (not exact bounds), and non-numeric
-        ordering columns simply forgo file skipping — a missing entry
-        means "never skip this file", so stats can only prune, never
-        change results."""
-        if not col:
+    def _stats_of(by_index: dict, cols) -> dict:
+        """basename -> ``{col: [min, max]}`` for a write job's output
+        files — MULTI-COLUMN zone maps (r4 verdict item #6), harvested
+        from the parquet FOOTER row-group statistics (metadata-only
+        driver reads of files this process just wrote; no data pages
+        touched, no Spark job). ``cols`` is a string or a sequence; all
+        requested columns come from ONE footer read per file.
+
+        Only numeric bounds are recorded: string min/max may be
+        TRUNCATED in parquet footers (not exact bounds); a non-numeric
+        column simply forgoes file skipping — a missing col entry means
+        "never skip this file for that column", so stats can only prune,
+        never change results. LEGACY format: pre-r5 manifests store a
+        bare ``[min, max]`` list (the LWW ordering column only); readers
+        accept both via ``_stat_bounds``."""
+        if isinstance(cols, str):
+            cols = [cols]
+        cols = [c for c in (cols or []) if c]
+        if not cols:
             return {}
         import pyarrow.parquet as pq
 
-        out: dict[str, list] = {}
+        out: dict[str, dict] = {}
         for f in by_index.values():
             try:
                 md = pq.ParquetFile(f).metadata
-                ci = None
+                idx = {}
                 for i in range(md.num_columns):
-                    if md.schema.column(i).path == col:
-                        ci = i
-                        break
-                if ci is None:
-                    continue
-                lo = hi = None
-                ok = md.num_row_groups > 0
-                for r in range(md.num_row_groups):
-                    st = md.row_group(r).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    mn, mx = st.min, st.max
-                    if not all(
-                        isinstance(v, (int, float)) and not isinstance(v, bool)
-                        for v in (mn, mx)
-                    ):
-                        ok = False
-                        break
-                    lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
-                if ok and lo is not None:
-                    out[os.path.basename(f)] = [lo, hi]
+                    p = md.schema.column(i).path
+                    if p in cols:
+                        idx[p] = i
+                entry: dict[str, list] = {}
+                for col, ci in idx.items():
+                    lo = hi = None
+                    ok = md.num_row_groups > 0
+                    for r in range(md.num_row_groups):
+                        st = md.row_group(r).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = st.min, st.max
+                        if not all(
+                            isinstance(v, (int, float)) and not isinstance(v, bool)
+                            for v in (mn, mx)
+                        ):
+                            ok = False
+                            break
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    if ok and lo is not None:
+                        entry[col] = [lo, hi]
+                if entry:
+                    out[os.path.basename(f)] = entry
             except Exception:
                 # stats are prune-only metadata whose absence is defined
                 # safe — a footer pyarrow can't parse (ArrowInvalid is a
@@ -2108,7 +2222,7 @@ class LakeTable:
             affected, S, k_parts, by_index, allowed=allowed
         )
         our_sizes = self._sizes_of(by_index)
-        our_stats = self._stats_of(by_index, (order_by or [None])[0])
+        our_stats = self._stats_of(by_index, self._stat_cols(order_by))
         our_blooms = (
             self._compute_file_blooms(list(by_index.values()), keys)
             if key_index
@@ -2213,6 +2327,8 @@ class LakeTable:
                 "slice_meta": slice_meta,
                 "bookmarks": bookmarks,
                 "num_buckets": self.num_buckets,
+                **({"stats_columns": list(self.stats_columns)}
+                   if self.stats_columns else {}),
                 "keys": list(keys),
                 "order_by": list(order_by),
                 "op_col": op_col,
@@ -2220,6 +2336,12 @@ class LakeTable:
                 **self._merged_extra(cur, extra_manifest),
             }, our_sizes, cur, our_blooms, new_stats=our_stats)
 
+        # lazy commit payloads resolve HERE — after the write action, right
+        # before the commit — so a caller may overlap its own metrics job
+        # with the merge write (the bulk-load path) and still land exact
+        # bookmarks in the same manifest
+        bookmark_updates = _resolved(bookmark_updates)
+        extra_manifest = _resolved(extra_manifest)
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None  # conflicting buckets: caller recomputes
@@ -2277,7 +2399,7 @@ class LakeTable:
 
         our_deltas, our_meta = self._files_and_meta(affected, S, k_parts, by_index)
         our_sizes = self._sizes_of(by_index)
-        our_stats = self._stats_of(by_index, (order_by or [None])[0])
+        our_stats = self._stats_of(by_index, self._stat_cols(order_by))
         our_blooms = (
             self._compute_file_blooms(list(by_index.values()), keys)
             if key_index
@@ -2350,6 +2472,8 @@ class LakeTable:
                 "slice_meta": slice_meta,
                 "bookmarks": bookmarks,
                 "num_buckets": self.num_buckets,
+                **({"stats_columns": list(self.stats_columns)}
+                   if self.stats_columns else {}),
                 "keys": list(keys),
                 "order_by": list(order_by),
                 "op_col": op_col,
@@ -2357,6 +2481,9 @@ class LakeTable:
                 **self._merged_extra(cur, extra_manifest),
             }, our_sizes, cur, our_blooms, new_stats=our_stats)
 
+        # lazy commit payloads resolve post-write (see the COW twin above)
+        bookmark_updates = _resolved(bookmark_updates)
+        extra_manifest = _resolved(extra_manifest)
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None
@@ -2875,7 +3002,7 @@ class LakeTable:
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
         new_sizes = self._sizes_of(by_index)
-        new_stats = self._stats_of(by_index, (m.get("order_by") or [None])[0])
+        new_stats = self._stats_of(by_index, self._stat_cols(m.get("order_by")))
         new_blooms = (
             self._compute_file_blooms(list(by_index.values()), keys)
             if key_index
@@ -3030,7 +3157,7 @@ class LakeTable:
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
         new_files, new_meta = self._files_and_meta(affected, S, k_parts, by_index)
         new_sizes = self._sizes_of(by_index)
-        new_stats = self._stats_of(by_index, rk)
+        new_stats = self._stats_of(by_index, self._stat_cols(m.get("order_by")))
         new_blooms = (
             self._compute_file_blooms(list(by_index.values()), list(m["keys"]))
             if key_index
@@ -3372,7 +3499,7 @@ class LakeTable:
                 if key_index
                 else None
             ),
-            new_stats=self._stats_of(by_index, (m.get("order_by") or [None])[0]))
+            new_stats=self._stats_of(by_index, self._stat_cols(m.get("order_by"))))
         if not self._publish(manifest):
             return None  # concurrent commit: the rewritten layout is stale
         self.num_buckets = nb
@@ -3648,6 +3775,7 @@ class LakeTable:
         version: Optional[int] = None,
         min_order: Optional[float] = None,
         max_order: Optional[float] = None,
+        col_ranges: Optional[dict] = None,
     ) -> Optional[DataFrame]:
         """State of the table (MOR deltas resolved, tombstones filtered by
         default; ``version`` time-travels — an int version or a TAG name).
@@ -3670,16 +3798,33 @@ class LakeTable:
             return None
         if (min_order is not None or max_order is not None) and not m.get("order_by"):
             raise ValueError("order bounds need a table with an order_by column")
+        if col_ranges:
+            schema_cols = {f["name"] for f in m["schema"]["fields"]}
+            missing = sorted(set(col_ranges) - schema_cols)
+            if missing:
+                raise ValueError(f"col_ranges on unknown column(s) {missing}")
+        # non-ordering-column FILE pruning is only sound when every stored
+        # row is already its key's winner (no pending deltas): a stale
+        # version inside the bounds could otherwise survive LWW while its
+        # true winner (outside them, in a pruned file) never reaches the
+        # resolve — resurrecting the key. With deltas the col ranges
+        # degrade to residual row filters only; results identical.
         df = self.read_state(
             min_order=min_order,
             manifest=m,
             max_order=max_order if not m.get("deltas") else None,
+            col_ranges=col_ranges if (col_ranges and not m.get("deltas")) else None,
         )
         df = df.drop("__bucket")
         if min_order is not None:
             df = df.filter(F.col(m["order_by"][0]) >= F.lit(min_order))
         if max_order is not None:
             df = df.filter(F.col(m["order_by"][0]) <= F.lit(max_order))
+        for c, (lo, hi) in (col_ranges or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
         op_col = m.get("op_col")
         if drop_deletes and op_col and op_col in df.columns:
             # NULL-safe: a row whose op is null (e.g. null-filled by schema

@@ -95,8 +95,11 @@ def test_stats_written_and_pruned_to_live_set(spark, table):
         for f in fl
     }
     assert stats and set(stats) <= live
-    for lohi in stats.values():
-        assert len(lohi) == 2 and lohi[0] <= lohi[1]
+    # r5 format: {col: [lo, hi]} per file (multi-column zone maps)
+    for entry in stats.values():
+        assert isinstance(entry, dict) and entry
+        for lohi in entry.values():
+            assert len(lohi) == 2 and lohi[0] <= lohi[1]
 
 
 def test_files_without_stats_are_never_skipped(spark, tmp_path, monkeypatch):

@@ -92,6 +92,42 @@ def test_sliced_replay_matches_oracle_bookmarks_metrics(spark, wal, tmp_path):
     assert m.filter(F.col("payload_bytes") <= 0).count() == 0
 
 
+def test_bulk_first_batch_overlapped_metrics_exact(spark, wal, tmp_path):
+    """r5: the empty-table bulk path overlaps the lineage job with the
+    merge write and resolves bookmarks/records_committed lazily at commit
+    time — every commit payload must still be EXACT (bookmark = max seq,
+    records_committed = event count, per-bucket metrics rows present)."""
+    wal_df, wal_path, ps = wal
+    table = run_batch_replay(spark, wal_df, str(tmp_path / "t"), conf(ps))
+    m = table.current_manifest()
+    assert table.bookmarks()["repo_wal"] == N_EVENTS - 1
+    assert m["records_committed"] == N_EVENTS
+    assert m["records_committed_by"] == {"repo_wal": N_EVENTS}
+    mt = read_metrics(spark, table.path)
+    assert mt.agg(F.sum("event_count")).collect()[0][0] == N_EVENTS
+    assert mt.filter(F.col("payload_bytes") <= 0).count() == 0
+    assert spark_state(table) == oracle_state(wal_path)
+
+
+def test_bulk_empty_first_batch_commits_nothing(spark, wal, tmp_path):
+    """An empty FIRST batch must not commit a manifest or burn the
+    writer's ledger slot (the bulk path aborts between write and commit
+    via _EmptyBulkBatch); the same batch_id must still be usable by the
+    real first batch afterwards."""
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    wal_df, wal_path, ps = wal
+    table = LakeTable(spark, str(tmp_path / "t"), num_buckets=8)
+    empty = wal_df.filter(F.col("seq") < 0)
+    stats = process_batch(table, conf(ps), empty, batch_id=0)
+    assert stats["skipped"] and stats.get("empty")
+    assert table.current_manifest() is None
+    # batch_id 0 still usable: the real bulk load lands normally
+    stats = process_batch(table, conf(ps), wal_df, batch_id=0)
+    assert not stats.get("skipped")
+    assert spark_state(table) == oracle_state(wal_path)
+
+
 def test_replayed_slice_is_exactly_once(spark, wal, tmp_path):
     wal_df, wal_path, ps = wal
     slices = [(-1, 2500), (2500, N_EVENTS)]
