@@ -257,7 +257,10 @@ def main() -> None:
             here = os.path.dirname(os.path.abspath(__file__))
             leg = os.path.join(here, "scripts", "scaling_leg.py")
 
-            def run_leg(wal, master, repeats=2):
+            def run_leg(wal, master, repeats=3):
+                # best-of-3 minimum: this host's run-to-run noise swings
+                # 2-3x (documented since r1); min is the capability
+                # estimator, and one slow leg otherwise poisons the ratio
                 env = dict(os.environ, LEG_REPEATS=str(repeats), LEG_FPB="4")
                 out = subprocess.run(
                     [sys.executable, leg, wal, master, base],

@@ -102,6 +102,20 @@ def bucket_salt_to_partition(bucket: int, salt: int, num_partitions: int) -> int
     return mm3_hash_int(salt, mm3_hash_int(bucket, 42)) % num_partitions
 
 
+def bucket_salt_era_to_partition(
+    bucket: int, salt: int, era: int, num_partitions: int
+) -> int:
+    """HashPartitioning over THREE int columns (bucket, salt, era) — the
+    range-clustered rewrite layout (r4 verdict lead #7): same chained
+    murmur3, one more link. Era does NOT join the claim coordinates —
+    claims stay (bucket, slice64); the era key only splits each granule's
+    output into era-disjoint FILES so their zone maps stay tight after
+    compaction merges history."""
+    return mm3_hash_int(
+        era, mm3_hash_int(salt, mm3_hash_int(bucket, 42))
+    ) % num_partitions
+
+
 _MANIFEST_CORE_KEYS = frozenset({
     "version", "batch_id", "batch_ids", "committed_at", "schema", "files",
     "deltas", "slice_meta", "bookmarks", "num_buckets", "keys", "order_by",
@@ -481,6 +495,16 @@ class LakeTable:
         # append-mostly table, so "events from March" touches March's
         # files, not the table.
         self.stats_columns = list(stats_columns) if stats_columns else []
+        # range-clustered rewrite layout (r4 verdict lead #7): when > 1,
+        # full/binpack compaction splits each (bucket, slice) granule's
+        # output into up to era_split files keyed by the LWW ordering
+        # column's value range — era-disjoint files BY CONSTRUCTION, so
+        # read_since/read_range zone maps keep pruning after maintenance
+        # merges history. A per-writer execution knob (like
+        # files_per_bucket), not a table property: claims stay
+        # (bucket, slice64) regardless. Cost: file count per rewrite
+        # multiplies by up to era_split.
+        self.era_split = 1
         # cow_incremental: a granule folds when its pending delta chain
         # reaches ``fold_every`` files (the Hudi NUM_COMMITS compaction
         # trigger, applied per (bucket, slice) granule) — write
@@ -1075,7 +1099,8 @@ class LakeTable:
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)).cast("int")
 
     @staticmethod
-    def _files_and_meta(affected, S, k_parts, by_index, allowed=None):
+    def _files_and_meta(affected, S, k_parts, by_index, allowed=None,
+                        eras=None):
         """Per-bucket (file list, slice metadata) for one write job.
 
         Metadata entry per (bucket, file basename): ``[S, [residues...]]``
@@ -1088,7 +1113,14 @@ class LakeTable:
         CLAIMED residues to those the job actually wrote — a partial fold
         only rewrites its due granules, and over-claiming the rest would
         drag the new files into every subsequent fold of unrelated
-        granules (degrading partial folds toward whole-bucket rewrites)."""
+        granules (degrading partial folds toward whole-bucket rewrites).
+
+        ``eras`` (range-clustered rewrites): the era ids the job added to
+        the partition key. A (bucket, residue) then spans ONE FILE PER
+        ERA — each gets the same [S, residues] claim entry (the format
+        already supports several files per residue via collisions), so
+        the claim model is untouched; only the file-per-granule count
+        multiplies by len(eras)."""
         files: dict[str, list] = {}
         meta: dict[str, dict] = {}
         for b in affected:
@@ -1097,9 +1129,16 @@ class LakeTable:
             for s in range(S):
                 if ok is not None and s not in ok:
                     continue
-                p = bucket_salt_to_partition(b, s, k_parts)
-                if p in by_index:
-                    residues_by_file.setdefault(by_index[p], []).append(s)
+                for e in (eras if eras is not None else (None,)):
+                    p = (
+                        bucket_salt_to_partition(b, s, k_parts)
+                        if e is None
+                        else bucket_salt_era_to_partition(b, s, e, k_parts)
+                    )
+                    if p in by_index:
+                        rs = residues_by_file.setdefault(by_index[p], [])
+                        if s not in rs:
+                            rs.append(s)
             files[str(b)] = sorted(residues_by_file)
             meta[str(b)] = {
                 os.path.basename(f): [S, sorted(rs)]
@@ -3116,15 +3155,41 @@ class LakeTable:
         )
         return df.filter(~purge)
 
+    def _era_bounds(self, m: dict, basenames) -> Optional[tuple]:
+        """[lo, hi] of the LWW ordering column across the given input
+        files, from manifest zone maps ONLY (no data read). None when any
+        file lacks bounds (legacy commits, non-numeric ordering) — the
+        era split then quietly disables rather than scanning."""
+        rk = (m.get("order_by") or [None])[0]
+        if not rk:
+            return None
+        stats = m.get("file_stats", {})
+        lo = hi = None
+        for bn in basenames:
+            st = _stat_bounds(stats.get(bn), rk, rk)
+            if st is None:
+                return None
+            lo = st[0] if lo is None else min(lo, st[0])
+            hi = st[1] if hi is None else max(hi, st[1])
+        return (lo, hi) if lo is not None and hi > lo else None
+
     def _rewrite_job(self, df, affected: Sequence[int], epoch: int, m: dict,
-                     key_index: bool, files_per_bucket: Optional[int] = None):
+                     key_index: bool, files_per_bucket: Optional[int] = None,
+                     era_bounds: Optional[tuple] = None):
         """One bucket-space rewrite job: salt, repartition, write a fresh
         epoch dir, index the part files, harvest sizes/zone-stats (+ key
         blooms when asked) and derive the per-bucket file/slice claims.
         Shared by full compaction and bucket-granular compaction — the
         two differ only in WHICH buckets they rewrite.
         ``files_per_bucket`` overrides the parallelism-derived slice
-        count (must be a power of two <= 64 for residue nesting)."""
+        count (must be a power of two <= 64 for residue nesting).
+
+        ``era_bounds`` + ``self.era_split > 1`` = range-clustered layout:
+        the partition key gains an __era column (ordering value's range
+        bucket), so each (bucket, slice) granule writes one file per era
+        — era-DISJOINT files by construction, keeping zone maps tight
+        after compaction merges history. Claims are unchanged: era is not
+        a claim coordinate, a granule just owns several files."""
         # unique per write job: concurrent writers must never share a
         # physical directory (mode="overwrite" would eat each other's
         # files); the manifest, not the dir name, defines the snapshot
@@ -3132,14 +3197,37 @@ class LakeTable:
             self.path, "data", f"epoch={epoch:010d}-{uuid.uuid4().hex[:8]}"
         )
         S = files_per_bucket if files_per_bucket else self._fpb(len(affected))
-        k_parts = max(1, len(affected) * S)
+        rk = (m.get("order_by") or [None])[0]
+        n_e = max(1, int(self.era_split or 1))
+        eras = None
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
         ).cast("int")
-        shaped = df.withColumn("__salt", salt).repartition(
-            k_parts, "__bucket", "__salt"
-        )
-        rk = (m.get("order_by") or [None])[0]
+        if n_e > 1 and rk and era_bounds is not None:
+            lo, hi = era_bounds
+            span = hi - lo + 1
+            era = F.coalesce(
+                F.least(
+                    F.lit(n_e - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col(rk) - F.lit(lo)) * n_e / F.lit(span)),
+                    ),
+                ).cast("int"),
+                F.lit(0),
+            )
+            k_parts = max(1, len(affected) * S * n_e)
+            shaped = (
+                df.withColumn("__salt", salt)
+                .withColumn("__era", era)
+                .repartition(k_parts, "__bucket", "__salt", "__era")
+            )
+            eras = list(range(n_e))
+        else:
+            k_parts = max(1, len(affected) * S)
+            shaped = df.withColumn("__salt", salt).repartition(
+                k_parts, "__bucket", "__salt"
+            )
         if rk:
             # cluster rows by the ordering column WITHIN each output file
             # (file-to-granule mapping is untouched — still (bucket, salt)):
@@ -3149,13 +3237,15 @@ class LakeTable:
             # cannot prune, and runs of adjacent values compress better
             shaped = shaped.sortWithinPartitions("__bucket", "__salt", rk)
         (
-            shaped.drop("__salt").write.mode("overwrite").parquet(out_dir)
+            shaped.drop("__salt", "__era").write.mode("overwrite").parquet(out_dir)
         )
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):
             if fname.endswith(".parquet") and fname.startswith("part-"):
                 by_index[int(fname.split("-")[1])] = os.path.join(out_dir, fname)
-        new_files, new_meta = self._files_and_meta(affected, S, k_parts, by_index)
+        new_files, new_meta = self._files_and_meta(
+            affected, S, k_parts, by_index, eras=eras
+        )
         new_sizes = self._sizes_of(by_index)
         new_stats = self._stats_of(by_index, self._stat_cols(m.get("order_by")))
         new_blooms = (
@@ -3176,9 +3266,19 @@ class LakeTable:
         df = self.read_state()  # resolves MOR deltas before rewriting
         df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
+        era_bounds = None
+        if self.era_split and self.era_split > 1:
+            all_bn = {
+                os.path.basename(f)
+                for sec in ("files", "deltas")
+                for fl in m.get(sec, {}).values()
+                for f in fl
+            }
+            era_bounds = self._era_bounds(m, all_bn)
         by_index, files, slice_meta, new_sizes, new_stats, new_blooms = (
             self._rewrite_job(
-                df, list(range(self.num_buckets)), epoch, m, key_index
+                df, list(range(self.num_buckets)), epoch, m, key_index,
+                era_bounds=era_bounds,
             )
         )
         manifest = self._with_file_index({
@@ -3294,11 +3394,18 @@ class LakeTable:
         df = self.read_state(buckets=due, manifest=m)
         df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
+        era_bounds = None
+        if self.era_split and self.era_split > 1:
+            in_bn = {
+                os.path.basename(f) for b_, d_ in consumed.values()
+                for f in b_ + d_
+            }
+            era_bounds = self._era_bounds(m, in_bn)
         # full-bucket rewrite: the new files legitimately claim every
         # residue the job computed for them (no partial-granule caveat)
         _by_index, new_files, new_meta, new_sizes, new_stats, new_blooms = (
             self._rewrite_job(df, due, epoch, m, key_index,
-                              files_per_bucket=fpb)
+                              files_per_bucket=fpb, era_bounds=era_bounds)
         )
         files_in = len({f for b_, d_ in consumed.values() for f in b_ + d_})
 
