@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": Q.q_text_oov_rate,
         "text_bigram_logprob": Q.q_text_bigram_logprob,
         "substring_dup_rate": Q.q_substring_dup_rate,
+        "line_dedup": Q.q_line_dedup,
         "decontaminate_ngram_overlap": Q.q_decontaminate_ngram_overlap,
         "decontaminate_ngram_shuffle": Q.q_decontaminate_ngram_shuffle,
         "quality_linear_score": Q.q_quality_linear_score,
@@ -279,6 +280,34 @@ def oracle_sql() -> dict[str, str]:
                         then s.signup_event_id end as signup_within_2h
             from p asof left join s
               on p.user_id = s.user_id and p.ts >= s.ts
+        """,
+        # line-level exact dedup with document rewrite: 10-token lines,
+        # drop lines occurring >= 2 times corpus-wide, reassemble cleaned
+        # text in position order, pin it via sha256
+        "line_dedup": f"""
+            with tok as (
+                select doc_id, {_WS_TOKENS} as w from documents
+            ), ch as (
+                select doc_id, i as pos,
+                       array_to_string(w[(i*10+1):(i*10+10)], ' ') as chunk
+                from tok,
+                     unnest(range(cast(ceil(len(w)/10.0) as bigint))) as t(i)
+            ), flagged as (
+                select doc_id, pos, chunk,
+                       count(*) over (partition by chunk) >= 2 as dup
+                from ch
+            )
+            select doc_id,
+                   cast(count(*) as bigint) as n_lines,
+                   cast(sum(case when dup then 1 else 0 end) as bigint)
+                       as n_dup_lines,
+                   cast(length(coalesce(string_agg(
+                       case when not dup then chunk end, ' ' order by pos),
+                       '')) as bigint) as cleaned_len,
+                   sha256(coalesce(string_agg(
+                       case when not dup then chunk end, ' ' order by pos),
+                       '')) as cleaned_sha
+            from flagged group by doc_id
         """,
         # 13-gram benchmark decontamination: eval split = doc_id % 20 == 0;
         # per TRAIN doc, distinct 13-gram collisions with the eval set

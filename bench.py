@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "bm25_search",
     "chunk_windows",
     "text_char_entropy",
+    # round-5 additions
+    "line_dedup",
 ]
 
 

@@ -996,6 +996,56 @@ def q_substring_dup_rate(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level exact dedup with document REWRITE (the C4/RefinedWeb
+    'remove duplicated lines' pass): chunk each doc into 10-token lines,
+    drop every line whose exact text occurs >= 2 times corpus-wide
+    (across OR within docs — an order-free rule, unlike keep-first
+    variants whose result depends on scan order), and reassemble the
+    cleaned document from the surviving lines in position order. Output
+    pins the rewrite exactly: per-doc line counts plus sha256 of the
+    cleaned text.
+
+    Scale shape (the count-window device): ONE corpus scan, TWO
+    exchanges, ZERO joins. The explicit repartition on the line text
+    satisfies the per-line corpus-count window; the per-doc rollup
+    (collect surviving lines, sort by position, concat) is the second
+    exchange. Rows per line-partition are bounded by that line's corpus
+    occurrences; the window computes one count — spill-safe (same
+    argument as text_oov_rate, adversarially soaked in
+    tests/test_corpus_skew_soak.py). The reassembly collect_list is
+    bounded by document size, never corpus size."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    K = 10
+    nch = F.ceil(F.size(toks) / F.lit(K)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(K) + 1, K)),
+    )
+    ch = docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    part = ch.repartition("chunk")
+    dup = F.count(F.lit(1)).over(Window.partitionBy("chunk")) >= 2
+    flagged = part.withColumn("dup", dup)
+    kept_struct = F.when(~F.col("dup"), F.struct("pos", "chunk"))
+    cleaned = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias(
+            "n_dup_lines"
+        ),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.sha2(cleaned, 256).alias("cleaned_sha"),
+    )
+
+
 def q_decontaminate_ngram_overlap(spark, sf_dir):
     """Training-data decontamination (the 13-gram-collision rule used for
     benchmark decontamination in LLM pipelines): a held-out eval split

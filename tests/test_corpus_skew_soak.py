@@ -28,6 +28,7 @@ SOAK_QUERIES = [
     "text_oov_rate",
     "text_bigram_logprob",
     "text_unigram_surprisal",
+    "line_dedup",  # boilerplate lines duplicate across ~ALL docs here
 ]
 
 

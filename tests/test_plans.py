@@ -359,7 +359,7 @@ def test_corpus_lm_queries_join_free_shape(spark):
     both downstream clusterings + the per-doc rollup), and ZERO joins —
     the corpus-wide model counts attach via count windows, never a join
     back to the token stream."""
-    for name in ["text_oov_rate", "text_bigram_logprob"]:
+    for name in ["text_oov_rate", "text_bigram_logprob", "line_dedup"]:
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, name
         assert "Join" not in plan, name
