@@ -1562,6 +1562,7 @@ class LakeTable:
         writer_id: str = "default",
         precombine: bool = False,
         key_index: bool = False,
+        delta_parts: Optional[int] = None,
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
 
@@ -1609,7 +1610,7 @@ class LakeTable:
                 batch_df, keys, order_by, batch_id, op_col, bookmark_updates,
                 extra_manifest, affected_buckets, affected_granules,
                 eff_mode, writer_id, precombine=precombine,
-                key_index=key_index,
+                key_index=key_index, delta_parts=delta_parts,
             )
             if out is not None:
                 if eff_mode != mode:
@@ -2027,6 +2028,7 @@ class LakeTable:
         extra_manifest, affected_buckets, affected_granules, mode, writer_id,
         precombine: bool = False,
         key_index: bool = False,
+        delta_parts: Optional[int] = None,
     ) -> Optional[dict]:
         """One optimistic attempt: compute + write data files against the
         current snapshot, then CAS-commit. Returns None when a concurrent
@@ -2144,7 +2146,7 @@ class LakeTable:
             out = self._append_delta(
                 batch, keys, order_by, batch_id, op_col, affected,
                 new_schema, m, bookmark_updates, extra_manifest, t0, writer_id,
-                key_index=key_index,
+                key_index=key_index, delta_parts=delta_parts,
             )
             if out is not None and mode == "cow_incremental":
                 # hierarchical granular COW: the delta commit above is the
@@ -2399,12 +2401,25 @@ class LakeTable:
         new_schema, m, bookmark_updates, extra_manifest, t0,
         writer_id: str = "default",
         key_index: bool = False,
+        delta_parts: Optional[int] = None,
     ) -> dict:
         """MOR write: within-batch LWW winners appended as delta files.
 
         Never reads the base — write cost is O(batch). The within-batch
         LWW is the map-side-combined aggregate (operators/dedup.lww_dedup),
         so duplicate-heavy batches shuffle pre-combined rows only.
+
+        ``delta_parts`` caps the write fan-out for small batches into
+        HIGH-bucket-count tables: several (bucket, salt) cells hash into
+        one partition and the delta file is SHARED across buckets — the
+        claim format's existing collision case ([S, residues] per
+        (bucket, file); the ownership semi-join already filters shared
+        files on read, and size-tiered folds already apportion
+        shared-file bytes across claims). Measured NEUTRAL at 64 buckets
+        (per-file costs are parallel); it matters when batch_rows <<
+        num_buckets and footers/manifest entries would dominate. The
+        pipeline sizes it from the batch's lineage row count
+        (PipelineConfig.delta_file_rows, default off).
 
         Multi-writer: delta files are independent of the base snapshot, so
         a lost CAS always rebases (append our entries onto the fresh
@@ -2415,6 +2430,8 @@ class LakeTable:
         winners = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
         S = self._fpb(len(affected))
         k_parts = max(1, len(affected) * S)
+        if delta_parts is not None:
+            k_parts = max(1, min(k_parts, int(delta_parts)))
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in keys], F.lit("__salt__")), F.lit(S)
         ).cast("int")

@@ -86,6 +86,17 @@ class PipelineConfig:
     fold_trigger: Optional[str] = None  # None = table default ("commits")
     fold_size_ratio: Optional[float] = None
     fold_min_bytes: Optional[int] = None
+    # target rows per DELTA file for mor/cow_incremental micro-batches:
+    # caps the delta write fan-out at ceil(batch_rows / this), writing
+    # files SHARED across buckets (the claim format's collision case;
+    # folds apportion shared-file bytes per claim). Measured NEUTRAL at
+    # 64 buckets (16.5-18.7k ev/s across cap 8/16/none — within host
+    # noise): the per-file costs are parallel there. The knob exists for
+    # HIGH bucket counts (a 20k-row batch into a 4096-bucket table would
+    # otherwise write 4096 near-empty files whose footers and manifest
+    # entries dominate). Default None = uncapped (one file per
+    # (bucket, salt), the pre-r5 behavior).
+    delta_file_rows: Optional[int] = None
     # malformed payloads (unparseable JSON -> null struct after from_json):
     # "keep" emits all-null flattened fields (the tap's permissive shape),
     # "drop" filters them, "dlq" additionally lands the raw rows in a
@@ -412,6 +423,12 @@ def process_batch(
             if want_granular
             else None
         )
+        batch_rows = sum(r["event_count"] for r in mrows)
+        delta_parts = (
+            -(-batch_rows // conf.delta_file_rows)
+            if conf.delta_file_rows and conf.sink_mode in ("mor", "cow_incremental")
+            else None
+        )
         stats = table.merge_upsert(
             shaped,
             keys=conf.keys,
@@ -420,18 +437,16 @@ def process_batch(
             op_col=conf.op_col,
             bookmark_updates=store.updates_for(hw, per_part),
             extra_manifest={
-                "records_committed": records_committed + sum(
-                    r["event_count"] for r in mrows
-                ),
+                "records_committed": records_committed + batch_rows,
                 "records_committed_by": {
-                    conf.stream: records_committed
-                    + sum(r["event_count"] for r in mrows)
+                    conf.stream: records_committed + batch_rows
                 },
             },
             affected_buckets=sorted(per_part),  # lineage partition == merge bucket
             affected_granules=foot,
             mode=conf.sink_mode,
             writer_id=conf.stream,
+            delta_parts=delta_parts,
         )
     if (
         not stats.get("skipped")

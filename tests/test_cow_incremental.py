@@ -203,6 +203,49 @@ def test_cdc_diff_from_empty_is_all_inserts(spark, tmp_path):
     assert {r["id"]: r["change"] for r in d.collect()} == {2: "insert"}
 
 
+def test_shared_delta_files_cap_converges_identically(spark, tmp_path):
+    """r5 delta_file_rows knob: capping the delta fan-out makes delta
+    files SHARED across buckets (several (bucket, salt) cells per file).
+    Claims, folds, and reads must converge to the identical LWW state as
+    the uncapped layout."""
+    from tap_rest_api_msdk_spark.streaming.pipeline import (
+        PipelineConfig,
+        process_batch,
+    )
+
+    wal = spark.createDataFrame(
+        [(i % 300, i, "upsert" if i % 40 else "delete", f"v{i}")
+         for i in range(3000)],
+        "id long, seq long, op string, text string",
+    )
+    states = {}
+    for label, dfr in (("capped", 200), ("uncapped", None)):
+        t = LakeTable(spark, str(tmp_path / label), num_buckets=16)
+        t.fold_every = 3
+        conf = PipelineConfig(
+            stream="s", keys=("id",), replication_key="seq",
+            order_by=("seq",), op_col="op", payload_col=None, ts_col=None,
+            num_buckets=16, sink_mode="cow_incremental",
+            delta_file_rows=dfr,
+        )
+        for b in range(6):
+            sl = wal.filter(
+                (F.col("seq") >= b * 500) & (F.col("seq") < (b + 1) * 500)
+            )
+            process_batch(t, conf, sl, b)
+        states[label] = {
+            r["id"]: (r["seq"], r["text"]) for r in t.to_df().collect()
+        }
+        if dfr:
+            # the cap actually engaged: ceil(500/200)=3 files per delta
+            # commit instead of 16+ (one per bucket)
+            m = t.current_manifest()
+            sizes = [len(v) for v in m.get("deltas", {}).values()]
+            assert sum(sizes) < 16 * 2, m.get("deltas")
+    assert states["capped"] == states["uncapped"]
+    assert len(states["capped"]) > 0
+
+
 def test_cdc_diff_empty_window_column_order_matches_populated(spark, tmp_path):
     """r4 ADVICE: when merge-key order differs from the schema's field
     order, the empty-window early return must still lead with the keys in
