@@ -113,11 +113,16 @@ def decontaminate_ngram_overlap(
     if eval_pred is None:
         eval_pred = F.col(id_col) % 20 == 0
 
+    from tap_rest_api_msdk_spark.operators.neardup import spread_input
+
     grams = ngram_hash_grams(F.col(text_col), n)
-    eval_docs = docs.filter(eval_pred)
+    # spread BEFORE the gram explode: on a narrow (few-split) input the
+    # explode runs in the scan stage at split-count parallelism
+    docs_w = spread_input(docs)
+    eval_docs = docs_w.filter(eval_pred)
     eval_g = eval_docs.select(F.explode(grams).alias("g")).distinct()
     train_g = (
-        docs.filter(~eval_pred)
+        docs_w.filter(~eval_pred)
         .select(id_col, F.explode_outer(grams).alias("g"))
         .distinct()
     )

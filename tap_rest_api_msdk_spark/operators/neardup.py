@@ -37,6 +37,29 @@ from tap_rest_api_msdk_spark.functions.portable_hash import hash60
 # shingling
 # ---------------------------------------------------------------------------
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Widen a NARROW input before a shingle/token explode.
+
+    The explode and its partial aggregates run in the SCAN stage, whose
+    parallelism is the input SPLIT count — a small-file corpus (one
+    parquet file under maxPartitionBytes) runs the most expensive stage
+    of every dedup query on ONE CORE (found live at sf0.1: the 5000-doc
+    table is a single split, so minhash/jaccard/simhash burned 4-8 s
+    single-threaded). Repartitioning the raw doc frame is cheap (docs are
+    small pre-explode) and spreads the shingle work across the cluster.
+
+    Adaptive, not blanket: at 100 TB the input has splits >> cores and
+    this is a NO-OP — shuffling raw docs there would double the scan IO
+    for nothing."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(want * 2) if have < want else df
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (lowercased, whitespace-tokenized)."""
     tokens = F.split(F.lower(F.trim(text)), "\\s+")
@@ -96,7 +119,7 @@ def jaccard_pairs(
     played by writing the posting list to a staging table — the classic
     inverted-index build step.
     """
-    sh = df.select(
+    sh = spread_input(df).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
     if materialize:
@@ -196,7 +219,7 @@ def minhash_lanes_agg(
     interpreted higher-order functions (the simhash SWAR lesson applied to
     MinHash: measured ~2x at sf0.1), and map-side partial mins mean the
     shuffle carries k longs per doc per map partition."""
-    sh = df.select(
+    sh = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
@@ -290,7 +313,11 @@ def minhash_dedup(
     (DuckDB) rounding diverges on exact .xxxxxx5 grid points.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, portable=portable)
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+    # verify side spreads too: shingling for the exact-Jaccard check runs
+    # in the scan stage, whose task count is the input split count
+    sh = spread_input(df).select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
     out = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -687,7 +714,7 @@ def simhash_signatures_agg(
     )
     token_hash = hash60 if portable else F.xxhash64
     tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tk"))
+    tok = spread_input(df).select(F.col(id_col).alias("id"), F.explode(tokens).alias("tk"))
     h = token_hash(F.col("tk"))
     # SWAR packing: bits j, j+16, j+32, j+48 land in four 16-bit lanes of
     # ONE long via (h >> j) & 0x0001000100010001 — 16 packed sum columns
@@ -780,7 +807,7 @@ def contained_docs(
         F.col(text_col).alias("text"),
         F.length(text_col).alias("ln"),
     )
-    posts = df.select(
+    posts = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     )
