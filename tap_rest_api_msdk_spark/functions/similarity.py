@@ -48,10 +48,15 @@ def cosine_topk(
     The query side is broadcast — the corpus is scanned once, no shuffle
     until the final per-query top-k (tiny: |queries| * k rows).
     """
+    from tap_rest_api_msdk_spark.operators.neardup import spread_input
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # spread a narrow corpus: the dot products run in the scan stage
+    c = spread_input(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     ).withColumn("cos", cosine(F.col("qv"), F.col("cv")))
@@ -224,7 +229,9 @@ def _portable_buckets_np(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    from tap_rest_api_msdk_spark.operators.neardup import spread_input
+
+    return spread_input(df.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def lsh_bucketed_topk_portable(
@@ -323,7 +330,9 @@ def _ivf_assign_np(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    from tap_rest_api_msdk_spark.operators.neardup import spread_input
+
+    return spread_input(df.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def auto_centroids(n: int) -> int:
