@@ -63,28 +63,42 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Driver-gate rotation (r4 verdict item #5): the driver's CORRECTNESS
-# artifact runs only the FIRST 50 queries() entries. These 24 had no
-# driver row in r4 (the registry outgrew the cap), so they lead the dict
-# in r5 — every query gets a driver-green row at least every second
-# round. Accounting only: same queries, same callables, same oracles.
-_DRIVER_FIRST = [
-    "lww_latest_state_salted", "tumbling_window_counts",
-    "hopping_window_counts", "session_windows", "rollup_revenue",
-    "set_ops_active_users", "multimodal_image_features",
-    "multimodal_frame_sampling", "multimodal_audio_features",
-    "multimodal_png_features", "value_percentiles", "hist_value_percentiles",
-    "distinct_users_exact", "approx_distinct_users", "heavy_hitters_countmin",
-    "bloom_filter_join", "pricing_summary", "top_revenue_orders",
-    "join_enrich_broadcast", "local_supply_revenue",
-    "customers_without_orders", "order_priority_counts",
-    "customer_distribution", "promo_revenue",
-]
+# Driver-gate rotation (r5 verdict item #1): the driver's CORRECTNESS
+# artifact runs only the FIRST 50 queries() entries, so the registry is
+# reordered STALEST-FIRST, derived mechanically from the prior rounds'
+# CORRECTNESS_r*.json artifacts — a query's priority is the last round a
+# driver row covered it (never-covered sorts first; ties keep registry
+# order). Each round the cap therefore lands on the least-recently
+# verified half, alternating by construction with no hand-edited list.
+# Accounting only: same queries, same callables, same oracles.
+def _driver_last_seen() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for k in rows:
+                seen[k] = max(seen.get(k, 0), rnd)
+    return seen
 
 
 def _rotate_for_driver(d: dict) -> dict:
-    lead = {k: d[k] for k in _DRIVER_FIRST if k in d}
-    return {**lead, **{k: v for k, v in d.items() if k not in lead}}
+    seen = _driver_last_seen()
+    order = sorted(d, key=lambda k: seen.get(k, -1))  # stable: ties keep dict order
+    return {k: d[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

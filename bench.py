@@ -134,9 +134,22 @@ def _dram_probe() -> dict:
         t0 = time.time()
         for p in ps:
             p.start()
-        total = sum(q.get() for _ in ps)
+        # ADVICE r5: a worker that dies pre-put (OOM on its 64MB buffer
+        # under pressure) must degrade the probe, not hang the bench —
+        # mirror the subprocess-timeout hardening of the scaling legs.
+        total, got = 0, 0
+        for _ in ps:
+            try:
+                total += q.get(timeout=30)
+                got += 1
+            except Exception:
+                break
         for p in ps:
-            p.join()
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+        if got < nproc:
+            return {"probe_failed": f"{got}/{nproc} workers reported"}
         out[f"gbps_{nproc}procs"] = round(total / (time.time() - t0) / 1e9, 1)
     out["bandwidth_scaling_8_to_32"] = round(
         (out["gbps_32procs"] / out["gbps_8procs"]) / 4, 2

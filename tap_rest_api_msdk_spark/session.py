@@ -11,6 +11,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_tmpfs_dir() -> str | None:
+    """/dev/shm spill dir, but only if the tmpfs has real free headroom."""
+    if not os.path.isdir("/dev/shm"):
+        return None
+    min_gb = float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_GB", "16"))
+    try:
+        import shutil
+
+        free = shutil.disk_usage("/dev/shm").free
+    except OSError:
+        return None
+    if free < min_gb * (1 << 30):
+        return None
+    return "/dev/shm/spark-graft-local"
+
+
 def get_spark(
     app_name: str = "tap-rest-api-msdk-spark",
     cores: int | None = None,
@@ -46,9 +62,11 @@ def get_spark(
     # 1.8x on the 32-core CDC replay); tmpfs emulates the per-node local
     # SSDs a real cluster brings per executor. A cluster deployment gets
     # spark.local.dir from the cluster manager instead.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
-    )
+    # ADVICE r5: spill exists because memory is short — only default to
+    # tmpfs when /dev/shm has real headroom (>= SPARK_GRAFT_TMPFS_MIN_GB,
+    # default 16 GiB, commonly 50% of RAM on big hosts); otherwise keep the
+    # disk default. SPARK_GRAFT_LOCAL_DIR always wins when set explicitly.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_tmpfs_dir()
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

@@ -44,6 +44,7 @@ import hashlib
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from typing import Optional, Sequence
@@ -2380,9 +2381,16 @@ class LakeTable:
         # lazy commit payloads resolve HERE — after the write action, right
         # before the commit — so a caller may overlap its own metrics job
         # with the merge write (the bulk-load path) and still land exact
-        # bookmarks in the same manifest
-        bookmark_updates = _resolved(bookmark_updates)
-        extra_manifest = _resolved(extra_manifest)
+        # bookmarks in the same manifest. If the payload aborts (e.g. the
+        # bulk path's empty-batch signal), reclaim the just-written epoch
+        # dir: no manifest references it, so vacuum() could never see it
+        # (ADVICE r5 — orphaned dir of empty part files).
+        try:
+            bookmark_updates = _resolved(bookmark_updates)
+            extra_manifest = _resolved(extra_manifest)
+        except BaseException:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None  # conflicting buckets: caller recomputes
@@ -2537,9 +2545,14 @@ class LakeTable:
                 **self._merged_extra(cur, extra_manifest),
             }, our_sizes, cur, our_blooms, new_stats=our_stats)
 
-        # lazy commit payloads resolve post-write (see the COW twin above)
-        bookmark_updates = _resolved(bookmark_updates)
-        extra_manifest = _resolved(extra_manifest)
+        # lazy commit payloads resolve post-write (see the COW twin above);
+        # an aborting payload reclaims the unreferenced epoch dir
+        try:
+            bookmark_updates = _resolved(bookmark_updates)
+            extra_manifest = _resolved(extra_manifest)
+        except BaseException:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
         committed = self._try_commit(m, assemble)
         if committed is None:
             return None

@@ -46,6 +46,18 @@ def table(spark, tmp_path):
     return t
 
 
+def test_read_since_residual_reaches_scan(spark, table):
+    """r5 found-in-verify fix, now a permanent tripwire: the read_since
+    lower bound must be applied BELOW the input_file_name() ownership
+    semi-join (nondeterministic — Catalyst won't push filters past it),
+    so the parquet scan shows PushedFilters with the seq bound and
+    row-group stats can skip inside files (laketable.py read_since)."""
+    df = table.read_since(140)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(seq,140)" in plan
+
+
 def test_read_since_equals_filtered_snapshot(spark, table):
     for lo in (-10, 0, 50, 100, 140, 151, 10_000):
         assert snap(table.read_since(lo)) == reference_since(table, lo), lo

@@ -122,6 +122,11 @@ def test_bulk_empty_first_batch_commits_nothing(spark, wal, tmp_path):
     stats = process_batch(table, conf(ps), empty, batch_id=0)
     assert stats["skipped"] and stats.get("empty")
     assert table.current_manifest() is None
+    # ADVICE r5: the aborted write must not leave an orphaned epoch dir of
+    # empty part files (vacuum() can't reclaim it pre-first-commit)
+    data_root = os.path.join(str(tmp_path / "t"), "data")
+    orphans = os.listdir(data_root) if os.path.isdir(data_root) else []
+    assert orphans == []
     # batch_id 0 still usable: the real bulk load lands normally
     stats = process_batch(table, conf(ps), wal_df, batch_id=0)
     assert not stats.get("skipped")
