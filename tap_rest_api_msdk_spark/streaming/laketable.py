@@ -3057,9 +3057,52 @@ class LakeTable:
         for c in keys:
             lagged = F.lag(F.col(c)).over(w)
             key_changed = key_changed | lagged.isNull() | (lagged != F.col(c))
-        merged = rep.withColumn("__first", key_changed).filter(F.col("__first")).drop(
-            "__first", "__salt"
+        winners = rep.withColumn("__first", key_changed).filter(F.col("__first")).drop(
+            "__first"
         )
+
+        # ---- era-split on the fold path (r5 verdict item #4): fold output
+        # mixes the FULL ordering-range of the folded granules (measured
+        # span ratio ~1.0 in both append- and update-heavy shapes —
+        # scripts/measure_fold_spans.py), so without this a steady-state
+        # cow_incremental table loses all read_since file pruning once
+        # chains fold. With era_split>1 the WINNERS take one extra
+        # output-sized exchange keyed (bucket, salt, era) — the LWW window
+        # itself must stay (bucket, salt): a key's versions span eras, and
+        # partitioning the window by era would resolve per-era winners.
+        # Claims are untouched (era is not a claim coordinate; a granule
+        # owns one file per era via the [S, residues] multi-file case).
+        n_e = max(1, int(self.era_split or 1))
+        rk0 = order_by[0] if order_by else None
+        eras = None
+        era_bounds = (
+            self._era_bounds(m, {os.path.basename(f) for f in files_needed})
+            if n_e > 1 and rk0
+            else None
+        )
+        if era_bounds is not None:
+            lo_e, hi_e = era_bounds
+            span_e = hi_e - lo_e + 1
+            era = F.coalesce(
+                F.least(
+                    F.lit(n_e - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col(rk0) - F.lit(lo_e)) * n_e / F.lit(span_e)),
+                    ),
+                ).cast("int"),
+                F.lit(0),
+            )
+            k_parts = k_parts * n_e
+            merged = (
+                winners.withColumn("__era", era)
+                .repartition(k_parts, "__bucket", "__salt", "__era")
+                .sortWithinPartitions("__bucket", "__salt", rk0)
+                .drop("__salt", "__era")
+            )
+            eras = list(range(n_e))
+        else:
+            merged = winners.drop("__salt")
 
         epoch = m["version"] + 1
         out_dir = os.path.join(
@@ -3084,7 +3127,8 @@ class LakeTable:
             for b_str, (S_b, due, _bs, _ds) in plans.items()
         }
         new_files, new_meta = self._files_and_meta(
-            [int(b) for b in plans], S_w, k_parts, by_index, allowed=allowed
+            [int(b) for b in plans], S_w, k_parts, by_index, allowed=allowed,
+            eras=eras,
         )
 
         def assemble(cur: Optional[dict]) -> Optional[dict]:

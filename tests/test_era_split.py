@@ -141,3 +141,64 @@ def test_era_split_disables_without_stats(spark, history, monkeypatch):
     assert not out.get("skipped")
     assert len(_snap(t2)) == 300
     assert _snap(t) == before  # untouched sibling
+
+
+def _drive_cowinc(spark, path, era_split=1, n_batches=8, per_batch=300):
+    """Steady-state CDC: append-mostly batches with monotone seq, folded
+    as they go (fold_every=2 keeps the fold path hot)."""
+    t = LakeTable(spark, path, num_buckets=4)
+    t.fold_every = 2
+    t.era_split = era_split
+    t.merge_upsert(_rows(spark, 0, per_batch), keys=["id"], order_by=["seq"],
+                   batch_id=0)
+    for b in range(1, n_batches):
+        t.merge_upsert(
+            _rows(spark, b * per_batch, (b + 1) * per_batch),
+            keys=["id"], order_by=["seq"], batch_id=b, mode="cow_incremental",
+        )
+    return t, n_batches * per_batch
+
+
+def test_era_split_fold_path_prunes_and_matches(spark, tmp_path):
+    """r5 verdict item #4: WITHOUT era-split, fold outputs span ~100% of
+    the table's ordering range (measured: scripts/measure_fold_spans.py)
+    and a recent-window read_since scans everything. With era_split>1 the
+    fold's winners take one extra output-sized (bucket, salt, era)
+    exchange, state is byte-identical, and the recent window prunes."""
+    plain, hi = _drive_cowinc(spark, str(tmp_path / "plain"), era_split=1)
+    era, _ = _drive_cowinc(spark, str(tmp_path / "era"), era_split=4)
+    assert _snap(era) == _snap(plain) == {i: i for i in range(hi)}
+
+    bound = int(hi * 0.9)
+    era.read_since(bound)
+    plan = era.last_read_plan
+    assert plan["files_scanned"] < plan["files_total"], plan
+    assert {r["seq"] for r in era.read_since(bound).collect()} == set(
+        range(bound, hi)
+    )
+    # fold outputs actually era-split: some granule owns several files
+    m = era.current_manifest()
+    assert any(len(fl) > 1 for fl in m["files"].values())
+
+
+def test_era_split_fold_lww_across_eras(spark, tmp_path):
+    """A key whose versions span eras must still resolve ONE winner (the
+    LWW window stays (bucket, salt); era only shapes the output files)."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    t.fold_every = 1
+    t.era_split = 4
+    t.merge_upsert(_rows(spark, 0, 400), keys=["id"], order_by=["seq"], batch_id=0)
+    # rewrite ids 0..99 with HIGH seq (other end of the era range)
+    upd = spark.createDataFrame(
+        [(i, 10_000 + i, f"u{i}") for i in range(100)],
+        "id long, seq long, text string",
+    )
+    t.merge_upsert(upd, keys=["id"], order_by=["seq"], batch_id=1,
+                   mode="cow_incremental")
+    t.fold_due(k_fold=10**9)
+    got = _snap(t)
+    want = {i: (10_000 + i if i < 100 else i) for i in range(400)}
+    assert got == want
+    # exactly one live row per key (no per-era duplicate winners)
+    df = t.to_df()
+    assert df.count() == df.select("id").distinct().count() == 400
