@@ -3731,9 +3731,28 @@ class LakeTable:
                     if grace_seconds > 0 and os.path.getmtime(fpath) > cutoff:
                         continue  # possibly an in-flight writer's file
                     os.remove(fpath)
+                    # drop the committer's checksum sidecar with its file,
+                    # or it pins the epoch dir forever (r6: at steady-state
+                    # commit rates — 2 versions/batch under cow_incremental
+                    # — dead dirs otherwise accumulate unboundedly and
+                    # vacuum's own walk degrades every round)
+                    crc = os.path.join(full, f".{fname}.crc")
+                    if os.path.exists(crc):
+                        os.remove(crc)
                     removed += 1
-            if not os.listdir(full):
-                os.rmdir(full)
+            left = os.listdir(full)
+            if all(
+                f == "_SUCCESS" or (f.startswith(".") and f.endswith(".crc"))
+                for f in left
+            ):
+                # dead epoch dir: nothing but committer markers / orphaned
+                # checksum sidecars (every parquet gone). An IN-FLIGHT
+                # write never matches — its _temporary/ dir or fresh
+                # parquets fail the residue test, and the grace window
+                # additionally spares young dirs.
+                if grace_seconds > 0 and os.path.getmtime(full) > cutoff:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
         return removed
 
     def _gc_sections(self, grace_seconds: float = 300.0) -> int:

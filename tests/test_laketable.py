@@ -205,6 +205,43 @@ def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
     assert {r.v for r in t.to_df().collect()} == {"v2"}
 
 
+def test_vacuum_reclaims_dead_epoch_dirs(spark, tmp_path):
+    """r6: vacuum must remove the checksum sidecars of reclaimed parquets
+    and the now-dead epoch dirs (_SUCCESS/.crc residue otherwise pins one
+    dir per commit FOREVER — unbounded at steady-state commit rates).
+    Live files keep their sidecars; the current snapshot stays intact."""
+    import os
+
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(k, 100 * i + k, f"v{i}") for k in range(10)],
+            "k long, seq long, v string",
+        )
+        t.merge_upsert(df, keys=["k"], order_by=["seq"], batch_id=i)
+    data = str(tmp_path / "t" / "data")
+    assert len(os.listdir(data)) == 4
+    t.vacuum()
+    dirs = os.listdir(data)
+    # only the current snapshot's epoch dir(s) survive, with no orphaned
+    # sidecars inside any surviving dir
+    live = {
+        f
+        for fl in t.current_manifest()["files"].values()
+        for f in fl
+    }
+    live_dirs = {os.path.basename(os.path.dirname(f)) for f in live}
+    assert set(dirs) == live_dirs
+    for ed in dirs:
+        names = set(os.listdir(os.path.join(data, ed)))
+        for n in names:
+            if n.startswith(".") and n.endswith(".crc"):
+                assert n[1:-4] in names  # sidecar's parquet still present
+    assert {r.v for r in t.to_df().collect()} == {"v3"}
+
+
 def test_compact_key_index_reharvests_blooms(spark, tmp_path):
     from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
 
