@@ -2423,11 +2423,12 @@ class LakeTable:
         claim format's existing collision case ([S, residues] per
         (bucket, file); the ownership semi-join already filters shared
         files on read, and size-tiered folds already apportion
-        shared-file bytes across claims). Measured NEUTRAL at 64 buckets
-        (per-file costs are parallel); it matters when batch_rows <<
-        num_buckets and footers/manifest entries would dominate. The
-        pipeline sizes it from the batch's lineage row count
-        (PipelineConfig.delta_file_rows, default off).
+        shared-file bytes across claims). Measured +30% steady ingest at
+        64 buckets / 50k-row batches and 2.9x at 1024 buckets; it matters
+        whenever batch_rows is small against num_buckets and the
+        footers/commit latency dominate. The pipeline sizes it from the
+        batch's lineage row count (PipelineConfig.delta_file_rows,
+        default "auto" = ~4096 rows/file).
 
         Multi-writer: delta files are independent of the base snapshot, so
         a lost CAS always rebases (append our entries onto the fresh

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +31,22 @@ from tap_rest_api_msdk_spark.operators.incremental import incremental_filter
 from tap_rest_api_msdk_spark.streaming.bookmarks import BookmarkStore
 from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
 from tap_rest_api_msdk_spark.streaming.metrics import append_metrics_rows, lineage_metrics
+
+
+# "auto" delta fan-out target (rows per delta file). 4096 puts the bench's
+# 50k-row steady batches at ~13 files — the measured knee (16 files beat
+# both 64 and 4 on the 30-batch steady shape; see delta_file_rows below).
+DELTA_FILE_ROWS_AUTO = 4096
+
+
+def _resolve_delta_file_rows(v) -> Optional[int]:
+    if v is None:
+        return None
+    if v == "auto":
+        return DELTA_FILE_ROWS_AUTO
+    if isinstance(v, int) and v > 0:
+        return v
+    raise ValueError(f"delta_file_rows {v!r} (expected 'auto', a positive int, or None)")
 
 
 @dataclass
@@ -89,14 +105,18 @@ class PipelineConfig:
     # target rows per DELTA file for mor/cow_incremental micro-batches:
     # caps the delta write fan-out at ceil(batch_rows / this), writing
     # files SHARED across buckets (the claim format's collision case;
-    # folds apportion shared-file bytes per claim). Measured NEUTRAL at
-    # 64 buckets (16.5-18.7k ev/s across cap 8/16/none — within host
-    # noise): the per-file costs are parallel there. The knob exists for
-    # HIGH bucket counts (a 20k-row batch into a 4096-bucket table would
-    # otherwise write 4096 near-empty files whose footers and manifest
-    # entries dominate). Default None = uncapped (one file per
-    # (bucket, salt), the pre-r5 behavior).
-    delta_file_rows: Optional[int] = None
+    # folds apportion shared-file bytes per claim). "auto" (the default)
+    # targets DELTA_FILE_ROWS_AUTO rows/file — measured on the bench's
+    # steady shape (30 x 50k-row batches into a 64-bucket 2.5M-key table,
+    # local[32]): uncapped 25.6-27.6k ev/s vs capped-at-16-files
+    # 35.3-35.7k (+30%, reproduced twice; fold batches FASTER too — fewer
+    # pending files). At 1024+ buckets the gap is 2.9x (r6 bench leg): a
+    # small batch would otherwise write num_buckets near-empty files
+    # whose footers and commit latency dominate. Large batches are
+    # unaffected (the cap only ever LOWERS the partition count below one
+    # file per (bucket, salt)). None = uncapped, the pre-r5 layout; an
+    # int = explicit rows-per-file target.
+    delta_file_rows: Union[int, str, None] = "auto"
     # malformed payloads (unparseable JSON -> null struct after from_json):
     # "keep" emits all-null flattened fields (the tap's permissive shape),
     # "drop" filters them, "dlq" additionally lands the raw rows in a
@@ -424,9 +444,10 @@ def process_batch(
             else None
         )
         batch_rows = sum(r["event_count"] for r in mrows)
+        dfr = _resolve_delta_file_rows(conf.delta_file_rows)
         delta_parts = (
-            -(-batch_rows // conf.delta_file_rows)
-            if conf.delta_file_rows and conf.sink_mode in ("mor", "cow_incremental")
+            -(-batch_rows // dfr)
+            if dfr and conf.sink_mode in ("mor", "cow_incremental")
             else None
         )
         stats = table.merge_upsert(
