@@ -56,6 +56,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # PySpark 4 captures a Python traceback per Column/DataFrame op to
+        # decorate AnalysisExceptions with call-site origins. That costs
+        # ~95ms per micro-batch plan build here (278 -> 183 ms measured on
+        # the steady ingest plan) — pure driver overhead in the hot loop.
+        # Off by default for an ingest engine; SPARK_GRAFT_DF_DEBUG=1
+        # restores origins when debugging a plan error. Static conf, so it
+        # must be decided at session build time.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG") == "1" else "false",
+        )
     )
     # local mode only: shuffle spill on a DISK-backed /tmp serializes the
     # wide legs (one fixed-bandwidth device shared by N threads — measured

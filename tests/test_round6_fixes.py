@@ -98,3 +98,18 @@ def test_tmpfs_default_respects_free_space(monkeypatch):
 
     expected = "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
     assert sess._default_tmpfs_dir() == expected
+
+
+def test_df_debugging_default_off_with_env_escape(spark, monkeypatch):
+    # Session default: call-site capture disabled (95ms/plan driver cost in
+    # the steady micro-batch loop); SPARK_GRAFT_DF_DEBUG=1 restores it.
+    # The live session fixture was built without the env var:
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") == "false"
+    )
+    # The builder resolves the env var at build time (static conf).
+    from tap_rest_api_msdk_spark import session as sess
+    import inspect
+
+    src = inspect.getsource(sess.get_spark)
+    assert "SPARK_GRAFT_DF_DEBUG" in src
