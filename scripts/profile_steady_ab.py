@@ -29,7 +29,9 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=5, help="batches per interleave block")
     ap.add_argument("--mode", default="cow_incremental")
     ap.add_argument("--configs", default="none,auto",
-                    help="comma list of delta_file_rows values: none|auto|<int>")
+                    help="comma list of delta_file_rows values: none|auto|<int>; "
+                         "append ':seq' to force the sequential (no lineage/"
+                         "write overlap) steady path for that arm")
     args = ap.parse_args()
 
     from tap_rest_api_msdk_spark.session import get_spark
@@ -40,7 +42,9 @@ def main() -> None:
 
     cfg_vals = []
     for c in args.configs.split(","):
-        cfg_vals.append(None if c == "none" else ("auto" if c == "auto" else int(c)))
+        c, _, flag = c.partition(":")
+        dfr = None if c == "none" else ("auto" if c == "auto" else int(c))
+        cfg_vals.append((dfr, flag == "seq"))
 
     spark = get_spark(app_name="profile_steady_ab")
     base = tempfile.mkdtemp(prefix="steady_ab_")
@@ -53,7 +57,7 @@ def main() -> None:
         n_boot = args.events - n_tail
 
         arms = []
-        for ci, dfr in enumerate(cfg_vals):
+        for ci, (dfr, force_seq) in enumerate(cfg_vals):
             tpath = os.path.join(base, f"tbl_{ci}")
             table = LakeTable(spark, tpath, num_buckets=64)
             conf = PipelineConfig(
@@ -63,7 +67,8 @@ def main() -> None:
             process_batch(table, conf, swal.filter(F.col("seq") <= n_boot), 0)
             conf.sink_mode = args.mode
             conf.delta_file_rows = dfr
-            arms.append({"dfr": dfr, "table": table, "conf": conf, "secs": 0.0, "per": []})
+            arms.append({"dfr": dfr, "seq": force_seq, "table": table,
+                         "conf": conf, "secs": 0.0, "per": []})
         print(f"bootstrapped {len(arms)} twin tables at {n_boot} events")
 
         for blk_start in range(0, args.batches, args.block):
@@ -72,6 +77,8 @@ def main() -> None:
                     lo = n_boot + i * args.batch_rows
                     b = swal.filter(
                         (F.col("seq") > lo) & (F.col("seq") <= lo + args.batch_rows))
+                    if arm["seq"]:
+                        arm["conf"]._steady_est = None
                     t0 = time.time()
                     process_batch(arm["table"], arm["conf"], b, i + 1)
                     dt = time.time() - t0
@@ -82,7 +89,8 @@ def main() -> None:
               f"interleaved blocks of {args.block}")
         for arm in arms:
             eps = n_tail / arm["secs"]
-            print(f"dfr={str(arm['dfr']):>6s} total {arm['secs']:6.2f}s  "
+            tag = f"dfr={str(arm['dfr']):>6s}" + (":seq" if arm["seq"] else "    ")
+            print(f"{tag} total {arm['secs']:6.2f}s  "
                   f"{eps:9,.0f} ev/s  per-batch {arm['per']}")
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -1564,8 +1564,14 @@ class LakeTable:
         precombine: bool = False,
         key_index: bool = False,
         delta_parts: Optional[int] = None,
+        affected_est: Optional[int] = None,
     ) -> dict:
         """LWW MERGE of a change batch into the table (exactly-once).
+
+        ``affected_buckets`` may be a zero-arg CALLABLE for the delta-
+        append modes (steady-overlap: the caller's lineage pass runs
+        concurrently with the write); ``affected_est`` then sizes the
+        write fan-out — see ``_append_delta``.
 
         Returns a small stats dict (for the metrics/lineage table).
         Semantics: per key, the row with max (order_by...) wins across
@@ -1612,6 +1618,7 @@ class LakeTable:
                 extra_manifest, affected_buckets, affected_granules,
                 eff_mode, writer_id, precombine=precombine,
                 key_index=key_index, delta_parts=delta_parts,
+                affected_est=affected_est,
             )
             if out is not None:
                 if eff_mode != mode:
@@ -2030,6 +2037,7 @@ class LakeTable:
         precombine: bool = False,
         key_index: bool = False,
         delta_parts: Optional[int] = None,
+        affected_est: Optional[int] = None,
     ) -> Optional[dict]:
         """One optimistic attempt: compute + write data files against the
         current snapshot, then CAS-commit. Returns None when a concurrent
@@ -2107,6 +2115,17 @@ class LakeTable:
             # granular COW with no extra scan at all
             foot = {int(b): {int(s) for s in v} for b, v in affected_granules.items()}
             affected = sorted(foot)
+        elif callable(affected_buckets):
+            # steady-overlap: the caller's lineage aggregate is STILL
+            # RUNNING — legal only for delta appends, which need the exact
+            # set only after their write action (claims enumeration)
+            if mode not in ("mor", "cow_incremental"):
+                raise ValueError(
+                    "lazy affected_buckets requires a delta-append mode "
+                    f"(got {mode!r}: COW's merge plan reads the base by "
+                    "bucket, so it needs the set up front)"
+                )
+            affected = affected_buckets
         elif affected_buckets is not None:
             # caller already knows the touched buckets (e.g. from its
             # lineage-metrics pass) — skip the extra distinct scan
@@ -2148,6 +2167,7 @@ class LakeTable:
                 batch, keys, order_by, batch_id, op_col, affected,
                 new_schema, m, bookmark_updates, extra_manifest, t0, writer_id,
                 key_index=key_index, delta_parts=delta_parts,
+                affected_est=affected_est,
             )
             if out is not None and mode == "cow_incremental":
                 # hierarchical granular COW: the delta commit above is the
@@ -2410,6 +2430,7 @@ class LakeTable:
         writer_id: str = "default",
         key_index: bool = False,
         delta_parts: Optional[int] = None,
+        affected_est: Optional[int] = None,
     ) -> dict:
         """MOR write: within-batch LWW winners appended as delta files.
 
@@ -2433,12 +2454,29 @@ class LakeTable:
         Multi-writer: delta files are independent of the base snapshot, so
         a lost CAS always rebases (append our entries onto the fresh
         manifest) — MOR appends never recompute.
+
+        ``affected`` may be a CALLABLE (steady-overlap path): the delta
+        write never reads the base, so the exact touched-bucket set is
+        only needed AFTER the write action, for claims enumeration — the
+        caller's lineage aggregate can then run CONCURRENTLY with the
+        write. ``affected_est`` (estimated touched-bucket count, e.g. the
+        previous micro-batch's — steady CDC streams are stationary) sizes
+        S and the fan-out eagerly; S is a perf heuristic only, claims stay
+        exact because the SAME S feeds both the salt column and
+        ``_files_and_meta``. A resolution failure (e.g. an empty batch's
+        ``_EmptyBulkBatch``) reclaims the unreferenced epoch dir, like the
+        lazy commit payloads below.
         """
         from tap_rest_api_msdk_spark.operators.dedup import lww_dedup
 
         winners = lww_dedup(batch, list(keys) + ["__bucket"], order_by)
-        S = self._fpb(len(affected))
-        k_parts = max(1, len(affected) * S)
+        lazy_affected = callable(affected)
+        n_aff = (
+            int(affected_est) if lazy_affected and affected_est else
+            (self.num_buckets if lazy_affected else len(affected))
+        )
+        S = self._fpb(n_aff)
+        k_parts = max(1, n_aff * S)
         if delta_parts is not None:
             k_parts = max(1, min(k_parts, int(delta_parts)))
         salt = F.pmod(
@@ -2456,6 +2494,15 @@ class LakeTable:
             .write.mode("overwrite")
             .parquet(out_dir)
         )
+
+        if lazy_affected:
+            # resolve the exact touched-bucket set now that the write is
+            # done; an aborting resolver reclaims the unreferenced dir
+            try:
+                affected = sorted(int(b) for b in affected())
+            except BaseException:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise
 
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):

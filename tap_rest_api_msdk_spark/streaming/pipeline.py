@@ -78,6 +78,11 @@ class PipelineConfig:
     schema_evolution: str = "sample"
     inference_records: int = 50
     _schema_discovered: bool = False  # set by the pipeline on first inference
+    # (touched_buckets, rows) of the last steady batch — sizes the next
+    # batch's delta-write fan-out so its lineage pass can run CONCURRENTLY
+    # with the write (perf hint only; claims stay exact). None = the next
+    # delta batch runs sequentially and seeds it.
+    _steady_est: Optional[tuple] = None
     # sink write strategy: "cow" rewrites affected buckets fully merged;
     # "mor" appends delta files (O(batch) writes) and resolves at read —
     # the steady-state streaming path. auto_compact_every folds MOR deltas
@@ -368,16 +373,30 @@ def process_batch(
     if conf.fold_min_bytes is not None:
         table.fold_min_bytes = conf.fold_min_bytes
 
-    if bulk:
-        # ---- bulk-load fast path: ONE wall-clock pass instead of two.
+    # steady-overlap eligibility: delta-append modes never read the base,
+    # so the ONLY pre-write input the lineage pass feeds is fan-out sizing
+    # (S, k_parts, delta_parts) — estimable from the PREVIOUS batch of a
+    # stationary CDC stream. The first steady batch runs sequentially (and
+    # seeds the estimate); later batches run the lineage aggregate
+    # concurrently with the delta write, like the bulk path. COW stays
+    # sequential: its merge plan consumes the exact (bucket, slice)
+    # footprint up front.
+    overlap = (
+        not bulk
+        and conf.sink_mode in ("mor", "cow_incremental")
+        and conf._steady_est is not None
+    )
+    if bulk or overlap:
+        # ---- overlapped fast path: ONE wall-clock pass instead of two.
         # The lineage aggregate runs in a background thread while the
         # merge computes and writes; the commit payloads (bookmarks,
-        # records_committed) are passed as MEMOIZED CALLABLES that
-        # laketable resolves after the write action and immediately
-        # before the CAS commit — exact bookmarks still land in the same
-        # atomic manifest. An empty batch aborts via _EmptyBulkBatch
-        # before anything commits (no ledger slot burned), preserving
-        # the sequential path's semantics.
+        # records_committed, affected buckets) are passed as MEMOIZED
+        # CALLABLES that laketable resolves after the write action and
+        # immediately before the CAS commit — exact bookmarks still land
+        # in the same atomic manifest. An empty batch aborts via
+        # _EmptyBulkBatch before anything commits (no ledger slot burned,
+        # the orphan epoch dir reclaimed), preserving the sequential
+        # path's semantics.
         import threading
 
         box: dict = {}
@@ -414,6 +433,24 @@ def process_batch(
                 "records_committed_by": {conf.stream: records_committed + n},
             }
 
+        mu_kwargs: dict = {}
+        if overlap:
+            # exact touched-bucket set, resolved by laketable AFTER the
+            # delta write (claims enumeration); estimates size the fan-out
+            def _affected():
+                rows = _mrows()
+                if not rows:
+                    raise _EmptyBulkBatch()
+                return sorted({int(r["partition_id"]) for r in rows})
+
+            est_aff, est_rows = conf._steady_est
+            dfr = _resolve_delta_file_rows(conf.delta_file_rows)
+            mu_kwargs = {
+                "affected_buckets": _affected,
+                "affected_est": est_aff,
+                "delta_parts": -(-est_rows // dfr) if dfr else None,
+            }
+
         try:
             stats = table.merge_upsert(
                 shaped,
@@ -425,6 +462,7 @@ def process_batch(
                 extra_manifest=_extra,
                 mode=conf.sink_mode,
                 writer_id=conf.stream,
+                **mu_kwargs,
             )
         except _EmptyBulkBatch:
             return {"skipped": True, "empty": True, "batch_id": batch_id}
@@ -432,6 +470,11 @@ def process_batch(
         if not mrows:  # merge skipped before resolving (e.g. ledger race)
             return {"skipped": True, "empty": True, "batch_id": batch_id}
         hw = max(r["max_replication_key"] for r in mrows)
+        if overlap:
+            conf._steady_est = (
+                len({r["partition_id"] for r in mrows}),
+                sum(r["event_count"] for r in mrows),
+            )
     else:
         mrows = metrics_df.collect()
         if not mrows:
@@ -469,6 +512,10 @@ def process_batch(
             writer_id=conf.stream,
             delta_parts=delta_parts,
         )
+        if conf.sink_mode in ("mor", "cow_incremental"):
+            # seed the steady-overlap fan-out estimate: the NEXT batch's
+            # lineage pass runs concurrently with its delta write
+            conf._steady_est = (len(per_part), batch_rows)
     if (
         not stats.get("skipped")
         and conf.sink_mode == "mor"

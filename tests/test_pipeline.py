@@ -201,3 +201,52 @@ def test_streaming_cow_incremental_matches_oracle(spark, wal, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
     )
     assert spark_state(table) == oracle_state(wal_path)
+
+
+def test_steady_overlap_matches_sequential_and_aborts_empty(spark, wal, tmp_path):
+    """Steady-overlap path (r6): from the second delta batch on, the
+    lineage aggregate runs concurrently with the delta write, with the
+    fan-out sized from the PREVIOUS batch's stats. Must be invisible in
+    every durable artifact: final state, claims, ledger. An empty batch
+    mid-stream aborts between write and commit (no ledger slot, no orphan
+    epoch dir)."""
+    wal_df, wal_path, ps = wal
+    from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
+
+    slices = [(-1, 1500), (1500, 2700), (2700, 3900), (3900, N_EVENTS)]
+
+    def run(tdir, force_sequential):
+        table = LakeTable(spark, tdir, num_buckets=8)
+        c = conf(ps, sink_mode="cow_incremental")
+        for i, (s, e) in enumerate(slices):
+            if force_sequential:
+                c._steady_est = None  # keep every batch on the exact path
+            b = wal_df.filter((F.col("seq") > s) & (F.col("seq") <= e))
+            st = process_batch(table, c, b, batch_id=i)
+            assert not st.get("skipped")
+        return table, c
+
+    t_seq, _ = run(str(tmp_path / "seq"), True)
+    t_ovl, c_ovl = run(str(tmp_path / "ovl"), False)
+    assert c_ovl._steady_est is not None  # overlap actually engaged
+    assert spark_state(t_seq) == spark_state(t_ovl) == oracle_state(wal_path)
+    # bookmarks / ledger / record counters identical
+    ms, mo = t_seq.current_manifest(), t_ovl.current_manifest()
+    for k in ("bookmarks", "batch_ids", "records_committed", "num_buckets"):
+        assert ms[k] == mo[k], k
+
+    # empty batch mid-stream on the OVERLAP path: write happens, resolve
+    # aborts, epoch dir reclaimed, ledger slot free
+    v = mo["version"]
+    n_dirs = len(os.listdir(os.path.join(str(tmp_path / "ovl"), "data")))
+    st = process_batch(
+        t_ovl, c_ovl, wal_df.filter(F.col("seq") < 0), batch_id=len(slices)
+    )
+    assert st["skipped"] and st.get("empty")
+    assert t_ovl.current_manifest()["version"] == v
+    assert len(os.listdir(os.path.join(str(tmp_path / "ovl"), "data"))) == n_dirs
+    # the same batch_id still lands afterwards (slot not burned)
+    st = process_batch(
+        t_ovl, c_ovl, wal_df.filter(F.col("seq") > slices[-1][1]), batch_id=len(slices)
+    )
+    assert st["skipped"] or not st.get("empty")
