@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bookmark_state": Q.q_bookmark_state,
         "lineage_metrics": Q.q_lineage_metrics,
         "window_lag_delta": Q.q_window_lag_delta,
+        "scd2_history": Q.q_scd2_history,
         "asof_join_signup": Q.q_asof_join_signup,
         "range_join_clicks": Q.q_range_join_clicks,
         # dedup family
@@ -248,6 +249,15 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by event_id
                    ), 6) as value_delta
             from events where user_id < 50
+        """,
+        "scd2_history": """
+            select user_id, event_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') as valid_from,
+                   strftime(lead(ts) over w, '%Y-%m-%d %H:%M:%S') as valid_to,
+                   cast(case when lead(ts) over w is null then 1 else 0 end
+                        as integer) as is_current
+            from events
+            window w as (partition by user_id order by ts, event_id)
         """,
         # as-of join: DuckDB's NATIVE ASOF LEFT JOIN oracles the engine's
         # union + running-last formulation (inclusive <= tie rule)

@@ -135,6 +135,26 @@ def q_range_join_clicks(spark, sf_dir):
     return out.select("event_id", "user_id", "n_clicks_5m")
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 over the CDC stream: every event version of a user gets a
+    half-open [valid_from, valid_to) interval; exactly one open (current)
+    row per user. One window shuffle keyed user_id (see operators/scd.py
+    for why the per-key sort is irreducible here and LWW's aggregate form
+    is not applicable)."""
+    from tap_rest_api_msdk_spark.operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    out = scd2_intervals(ev, ["user_id"], ["ts", "event_id"], "ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-function coverage: per-user event-over-event value delta."""
     from pyspark.sql import Window
