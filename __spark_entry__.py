@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": Q.q_sample_temperature,
         "pack_sequences": Q.q_pack_sequences,
         "events_funnel": Q.q_events_funnel,
+        "late_data_watermark": Q.q_late_data_watermark,
         "retention_cohorts": Q.q_retention_cohorts,
         "asof_join_tolerance": Q.q_asof_join_tolerance,
         "pii_scrub": Q.q_pii_scrub,
@@ -1438,6 +1439,30 @@ def oracle_sql() -> dict[str, str]:
                s // 2048 as seq_id,
                s % 2048 as offset_in_seq
         from cum
+    """
+    # streaming late-data accounting: exclusive running-max watermark over
+    # arrival (event_id) order; Spark computes it as a two-phase block scan,
+    # the oracle as the direct global window — identical by the scan identity
+    d["late_data_watermark"] = """
+        with w as (
+            select event_type, ts,
+                   max(ts) over (
+                       order by event_id
+                       rows between unbounded preceding and 1 preceding
+                   ) as wm_prev
+            from events
+        )
+        select event_type,
+               count(*) as n_events,
+               cast(count(*) filter (
+                   where ts < wm_prev - interval '30 minutes'
+               ) as bigint) as n_late,
+               round(
+                   cast(count(*) filter (
+                       where ts < wm_prev - interval '30 minutes'
+                   ) as double) / count(*), 6
+               ) as late_frac
+        from w group by event_type
     """
     # ordered funnel: timestamps only compare, never surface
     d["events_funnel"] = """

@@ -1387,6 +1387,52 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_late_data_watermark(spark, sf_dir):
+    """Streaming late-data accounting, replayed in batch: events arrive in
+    event_id (ingest) order; the watermark is the running max event-time
+    over all PRIOR arrivals minus a 30-minute allowed lateness; an event is
+    late when its own event-time is below that. Per event_type: totals,
+    late counts, late fraction.
+
+    Scale shape: a global running max is a single-partition window — the
+    100 TB anti-pattern. This computes it as a textbook two-phase scan:
+    (1) per-block max over blocks of 1000 arrivals (a hash agg, map-side
+    combined, output n/1000 rows), (2) an exclusive running max over the
+    tiny block table (single partition, but O(n/B) rows — choose B so this
+    is driver-scale; at 10^10 events B=10^6 keeps it at 10^4 rows),
+    broadcast back, (3) a per-block window over prior rows combines the
+    block carry-in with the local prefix. No shuffle is wider than the
+    block table except the final per-type aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", F.expr("event_id div 1000").alias("blk")
+    )
+    blk_max = ev.groupBy("blk").agg(F.max("ts").alias("blk_max"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = blk_max.select("blk", F.max("blk_max").over(wb).alias("carry_in"))
+    wl = Window.partitionBy("blk").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = (
+        ev.join(F.broadcast(carry), "blk")
+        .withColumn("local_prev", F.max("ts").over(wl))
+        .withColumn("wm_prev", F.greatest("carry_in", "local_prev"))
+        .withColumn(
+            "is_late",
+            F.when(
+                F.col("ts") < F.col("wm_prev") - F.expr("INTERVAL 30 MINUTES"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.round(F.sum("is_late") / F.count(F.lit(1)), 6).alias("late_frac"),
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel analysis (signup -> first click after signup ->
     first purchase after that click): per-stage user counts. Three
