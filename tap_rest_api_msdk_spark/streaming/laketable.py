@@ -117,6 +117,61 @@ def bucket_salt_era_to_partition(
     ) % num_partitions
 
 
+def zorder_cell_and_key(cluster_bounds: dict, n_cells: int, bits: int = 8):
+    """Z-order (Morton) cell id + full-resolution sort key as Column
+    expressions, for multi-dimensional clustered rewrites.
+
+    ``cluster_bounds`` maps column -> (lo, hi) — global numeric bounds of
+    the rewrite's input, from manifest zone maps (metadata-only, like the
+    1-D era split's ``_era_bounds``). Each column is quantized to ``bits``
+    rank levels within its bounds, the quantized values' bits are
+    interleaved MSB-first across columns (standard Morton order), and:
+
+    * the CELL is the interleaved key's top ``log2(n_cells)`` bits — a
+      2-D (or N-D) tile id, so files split on it are tile-disjoint and
+      every clustered column's per-file zone map stays tight;
+    * the KEY is the full interleaved value — sorting rows by it within
+      each file keeps parquet row-group min/max tight on ALL clustered
+      columns (balanced, vs. total tightness on one column only).
+
+    Everything is plain column arithmetic (floor/shift/bitwise) — stays
+    inside whole-stage codegen, no UDFs. Out-of-bounds or null values
+    clamp to the edge cells rather than erroring (bounds are advisory
+    layout hints, never correctness gates)."""
+    cols = list(cluster_bounds)
+    n_c = len(cols)
+    top = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = cluster_bounds[c]
+        span = (hi - lo) or 1
+        q = F.coalesce(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col(c) - F.lit(lo)) * (1 << bits) / F.lit(span)),
+                ),
+            ),
+            F.lit(0),
+        ).cast("long")
+        quantized.append(q)
+    total_bits = bits * n_c
+    z = F.lit(0).cast("long")
+    for j in range(bits):  # j = 0 is each column's MSB
+        for i, q in enumerate(quantized):
+            src = bits - 1 - j
+            dst = total_bits - 1 - (j * n_c + i)
+            bit = F.shiftright(q, src).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, dst))
+    cell_bits = max(1, (int(n_cells) - 1).bit_length())
+    cell = F.least(
+        F.shiftright(z, max(0, total_bits - cell_bits)).cast("int"),
+        F.lit(int(n_cells) - 1),
+    )
+    return cell, z
+
+
 _MANIFEST_CORE_KEYS = frozenset({
     "version", "batch_id", "batch_ids", "committed_at", "schema", "files",
     "deltas", "slice_meta", "bookmarks", "num_buckets", "keys", "order_by",
@@ -506,6 +561,21 @@ class LakeTable:
         # (bucket, slice64) regardless. Cost: file count per rewrite
         # multiplies by up to era_split.
         self.era_split = 1
+        # MULTI-dimensional clustered rewrite layout (z-order, the
+        # Delta Lake OPTIMIZE ZORDER BY analog): when set to >= 2 numeric
+        # columns (each either the LWW ordering column or listed in
+        # stats_columns, so manifest zone maps carry their bounds),
+        # compaction/binpack splits each granule's output by a Morton
+        # CELL over those columns instead of the 1-D era range, and
+        # clusters rows by the full Morton key within each file. A 1-D
+        # era layout keeps only the ordering column prunable after
+        # maintenance merges history; z-order trades per-column tightness
+        # for BALANCED tightness, so range reads on EVERY clustered
+        # column skip ~sqrt-fraction files on a 2-D layout. era_split is
+        # still the cell count. Per-writer execution knob like era_split;
+        # claims stay (bucket, slice64). Quietly disables (falls back to
+        # the 1-D era split) when any column lacks bounds.
+        self.cluster_by: Optional[list] = None
         # cow_incremental: a granule folds when its pending delta chain
         # reaches ``fold_every`` files (the Hudi NUM_COMMITS compaction
         # trigger, applied per (bucket, slice) granule) — write
@@ -561,6 +631,10 @@ class LakeTable:
         first = (list(order_by) or [None])[0] if order_by else None
         out = [first] if first else []
         out += [c for c in self.stats_columns if c not in out]
+        # cluster columns too: a z-order rewrite's OUTPUT files must
+        # carry bounds on every clustered column or the NEXT rewrite
+        # (and read-side pruning) would quietly lose the layout
+        out += [c for c in (self.cluster_by or []) if c not in out]
         return out
 
     def _fpb(self, n_affected: int) -> int:
@@ -3295,9 +3369,34 @@ class LakeTable:
             hi = st[1] if hi is None else max(hi, st[1])
         return (lo, hi) if lo is not None and hi > lo else None
 
+    def _cluster_bounds(self, m: dict, basenames) -> Optional[dict]:
+        """``{col: (lo, hi)}`` for every ``cluster_by`` column across the
+        given input files, from manifest zone maps ONLY (the z-order
+        sibling of ``_era_bounds`` — no data read). None unless ALL
+        columns have bounds in ALL files and a non-degenerate span —
+        the z layout then quietly falls back to the 1-D era split."""
+        if not self.cluster_by or len(self.cluster_by) < 2:
+            return None
+        rk = (m.get("order_by") or [None])[0]
+        stats = m.get("file_stats", {})
+        out = {}
+        for c in self.cluster_by:
+            lo = hi = None
+            for bn in basenames:
+                st = _stat_bounds(stats.get(bn), c, rk)
+                if st is None:
+                    return None
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            if lo is None or not hi > lo:
+                return None
+            out[c] = (lo, hi)
+        return out
+
     def _rewrite_job(self, df, affected: Sequence[int], epoch: int, m: dict,
                      key_index: bool, files_per_bucket: Optional[int] = None,
-                     era_bounds: Optional[tuple] = None):
+                     era_bounds: Optional[tuple] = None,
+                     cluster_bounds: Optional[dict] = None):
         """One bucket-space rewrite job: salt, repartition, write a fresh
         epoch dir, index the part files, harvest sizes/zone-stats (+ key
         blooms when asked) and derive the per-bucket file/slice claims.
@@ -3311,7 +3410,14 @@ class LakeTable:
         bucket), so each (bucket, slice) granule writes one file per era
         — era-DISJOINT files by construction, keeping zone maps tight
         after compaction merges history. Claims are unchanged: era is not
-        a claim coordinate, a granule just owns several files."""
+        a claim coordinate, a granule just owns several files.
+
+        ``cluster_bounds`` (z-order, takes precedence over the 1-D era
+        key): the cell is a Morton interleave over the ``cluster_by``
+        columns and within-file clustering uses the full Morton key, so
+        EVERY clustered column's zone map stays tight (~sqrt-fraction
+        per column on a 2-D layout). Same partition-key and claims
+        mechanics — the cell id simply IS the __era value."""
         # unique per write job: concurrent writers must never share a
         # physical directory (mode="overwrite" would eat each other's
         # files); the manifest, not the dir name, defines the snapshot
@@ -3325,7 +3431,18 @@ class LakeTable:
         salt = F.pmod(
             F.xxhash64(*[F.col(k) for k in m["keys"]], F.lit("__salt__")), F.lit(S)
         ).cast("int")
-        if n_e > 1 and rk and era_bounds is not None:
+        zsort = None
+        if n_e > 1 and cluster_bounds:
+            cell, zsort = zorder_cell_and_key(cluster_bounds, n_e)
+            k_parts = max(1, len(affected) * S * n_e)
+            shaped = (
+                df.withColumn("__salt", salt)
+                .withColumn("__era", cell)
+                .withColumn("__z", zsort)
+                .repartition(k_parts, "__bucket", "__salt", "__era")
+            )
+            eras = list(range(n_e))
+        elif n_e > 1 and rk and era_bounds is not None:
             lo, hi = era_bounds
             span = hi - lo + 1
             era = F.coalesce(
@@ -3350,7 +3467,12 @@ class LakeTable:
             shaped = df.withColumn("__salt", salt).repartition(
                 k_parts, "__bucket", "__salt"
             )
-        if rk:
+        if zsort is not None:
+            # z-order: cluster rows by the full Morton key within each
+            # file — row-group min/max stay tight on ALL clustered
+            # columns at once (balanced), not just the ordering column
+            shaped = shaped.sortWithinPartitions("__bucket", "__salt", "__z")
+        elif rk:
             # cluster rows by the ordering column WITHIN each output file
             # (file-to-granule mapping is untouched — still (bucket, salt)):
             # parquet row-group min/max become tight on the ordering
@@ -3359,7 +3481,8 @@ class LakeTable:
             # cannot prune, and runs of adjacent values compress better
             shaped = shaped.sortWithinPartitions("__bucket", "__salt", rk)
         (
-            shaped.drop("__salt", "__era").write.mode("overwrite").parquet(out_dir)
+            shaped.drop("__salt", "__era", "__z")
+            .write.mode("overwrite").parquet(out_dir)
         )
         by_index: dict[int, str] = {}
         for fname in os.listdir(out_dir):
@@ -3388,7 +3511,7 @@ class LakeTable:
         df = self.read_state()  # resolves MOR deltas before rewriting
         df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
-        era_bounds = None
+        era_bounds = cluster_bounds = None
         if self.era_split and self.era_split > 1:
             all_bn = {
                 os.path.basename(f)
@@ -3396,11 +3519,13 @@ class LakeTable:
                 for fl in m.get(sec, {}).values()
                 for f in fl
             }
-            era_bounds = self._era_bounds(m, all_bn)
+            cluster_bounds = self._cluster_bounds(m, all_bn)
+            if cluster_bounds is None:
+                era_bounds = self._era_bounds(m, all_bn)
         by_index, files, slice_meta, new_sizes, new_stats, new_blooms = (
             self._rewrite_job(
                 df, list(range(self.num_buckets)), epoch, m, key_index,
-                era_bounds=era_bounds,
+                era_bounds=era_bounds, cluster_bounds=cluster_bounds,
             )
         )
         manifest = self._with_file_index({
@@ -3516,18 +3641,21 @@ class LakeTable:
         df = self.read_state(buckets=due, manifest=m)
         df = self._purge_tombstones(df, m, tombstone_watermark)
         epoch = m["version"] + 1
-        era_bounds = None
+        era_bounds = cluster_bounds = None
         if self.era_split and self.era_split > 1:
             in_bn = {
                 os.path.basename(f) for b_, d_ in consumed.values()
                 for f in b_ + d_
             }
-            era_bounds = self._era_bounds(m, in_bn)
+            cluster_bounds = self._cluster_bounds(m, in_bn)
+            if cluster_bounds is None:
+                era_bounds = self._era_bounds(m, in_bn)
         # full-bucket rewrite: the new files legitimately claim every
         # residue the job computed for them (no partial-granule caveat)
         _by_index, new_files, new_meta, new_sizes, new_stats, new_blooms = (
             self._rewrite_job(df, due, epoch, m, key_index,
-                              files_per_bucket=fpb, era_bounds=era_bounds)
+                              files_per_bucket=fpb, era_bounds=era_bounds,
+                              cluster_bounds=cluster_bounds)
         )
         files_in = len({f for b_, d_ in consumed.values() for f in b_ + d_})
 
