@@ -865,38 +865,56 @@ def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals per doc: duplicate-bigram fraction
     (1 - distinct/total) and top-token frequency fraction — the filters
     that catch degenerate/looping generations. Pure token arithmetic,
-    floor-truncated doubles (cross-engine exact)."""
-    docs = _t(spark, sf_dir, "documents")
+    floor-truncated doubles (cross-engine exact).
+
+    Scale shape (r6): SINGLE scan, ZERO exchanges, ZERO joins. The
+    per-doc top-token count is row-local — the longest run in the
+    SORTED token array (one aggregate pass), so the former
+    explode -> (doc, tok) groupBy -> (doc) groupBy -> join pipeline
+    (two full token-stream shuffles at web scale) collapses into plain
+    array arithmetic on the documents scan. Values are bit-identical:
+    max run length over sorted tokens IS the max per-token count.
+    ``_spread`` widens a narrow scan (the compute is per-row heavy and a
+    small-SF parquet is one split; a no-op exchange at scale)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
     )
-    toks = docs.select("doc_id", F.explode(tokens).alias("tok"))
-    top_tok = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    run = lambda acc, x: F.when(  # noqa: E731 — shared by run/best fields
+        x == acc["prev"], acc["run"] + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    top_c = F.aggregate(
+        F.array_sort(tokens),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    gr = docs.select("doc_id", grams.alias("g")).select(
+    return docs.select(
         "doc_id",
-        F.size("g").cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct("g")).cast("long").alias("n_distinct_bigrams"),
-    )
-    return (
-        gr.join(top_tok, "doc_id")
-        .select(
-            "doc_id",
-            "n_bigrams",
-            (
-                F.floor(
-                    (F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")) * 1e6
-                )
-                / 1e6
-            ).alias("dup_bigram_frac"),
-            (F.floor(F.col("top_c") / F.col("n_tok") * 1e6) / 1e6).alias("top_token_frac"),
-        )
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_bigrams"),
+        top_c.alias("top_c"),
+        F.size(tokens).cast("long").alias("n_tok"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.floor(
+                (F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")) * 1e6
+            )
+            / 1e6
+        ).alias("dup_bigram_frac"),
+        (F.floor(F.col("top_c") / F.col("n_tok") * 1e6) / 1e6).alias("top_token_frac"),
     )
 
 

@@ -366,3 +366,18 @@ def test_corpus_lm_queries_join_free_shape(spark):
         assert plan.count("FileScan") == 1, name
         assert plan.count("Exchange hashpartitioning") == 2, name
         assert "partial_" in plan, name
+
+
+def test_text_repetition_single_scan_no_shuffle(spark):
+    """r6 session 5: the per-doc top-token count is row-local (max run in
+    the sorted token array), so the whole query is ONE documents scan
+    with ZERO joins and ZERO hash exchanges — the former
+    explode -> groupBy -> groupBy -> join shuffled the token stream
+    twice, which at web scale dwarfs the scan itself. Only the
+    _spread round-robin exchange (narrow-input widening) is allowed."""
+    plan = plan_of(QUERIES["text_repetition"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate explode" not in plan, plan
