@@ -584,6 +584,49 @@ def main() -> None:
                     ),
                 }
             steady["delta_fanout_1024_buckets"] = fanout
+
+            # z-order layout END-TO-END (r6 session 5): the era leg above
+            # proves event-time pruning, but ts_sec is correlated with the
+            # ordering column — the 1-D layout gets it for free. Real
+            # tables also filter on an INDEPENDENT second dimension
+            # (tenant, shard, score bucket). Rebuild the steady state with
+            # a decorrelated numeric column, compact under
+            # cluster_by=(event-time, tenant), and report BOTH scan
+            # fractions — either drifting toward 1.0 means the z layout
+            # (or its zone-map plumbing) broke.
+            t0 = time.time()
+            zpath = os.path.join(base, "steady_zorder")
+            zt = LakeTable(s, zpath, num_buckets=16,
+                           stats_columns=["ts_sec", "tenant"])
+            zt.era_split = 16
+            zt.cluster_by = ["ts_sec", "tenant"]
+            zstate = era_table.to_df().withColumn(
+                "tenant",
+                F.pmod(F.xxhash64("repo", "path", F.lit(7)),
+                       F.lit(100_000)).cast("long"),
+            )
+            zt.merge_upsert(zstate, keys=["repo", "path"],
+                            order_by=["seq", "commit"], batch_id=0, mode="cow")
+            zt.compact()
+            steady["zorder_setup_seconds"] = round(time.time() - t0, 3)
+            zfr = {}
+            for colname, zlo, zhi in (
+                ("ts_sec", w_lo, w_lo + batch_sz),   # mid-history window
+                ("tenant", 0, 9_999),                # 10% of tenant space
+            ):
+                t0 = time.time()
+                n_z = zt.read_range(zlo, zhi, col=colname).count()
+                zp = dict(zt.last_read_plan or {})
+                zfr[colname] = {
+                    "rows": n_z,
+                    "seconds": round(time.time() - t0, 3),
+                    "files": f"{zp.get('files_scanned')}/{zp.get('files_total')}",
+                    "fraction": (
+                        round(zp["files_scanned"] / zp["files_total"], 3)
+                        if zp.get("files_total") else None
+                    ),
+                }
+            steady["zorder_read_fractions"] = zfr
             s.stop()
             result["steady_state_cdc"] = steady
 
@@ -650,9 +693,17 @@ def main() -> None:
             "events_per_sec_cow_incremental_size",
             "events_per_sec_mor",
             "read_since_files",
+            "era_read_range_file_fraction",
         )
         if k in st
     }
+    zfr = st.get("zorder_read_fractions")
+    if zfr:
+        # one compact pair: scan fraction per clustered dimension — either
+        # drifting toward 1.0 means the z layout broke
+        compact["steady"]["zorder_fractions"] = {
+            c: v.get("fraction") for c, v in zfr.items()
+        }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: the driver window is ~2000 chars
         compact.pop("queries", None)

@@ -3197,12 +3197,30 @@ class LakeTable:
         n_e = max(1, int(self.era_split or 1))
         rk0 = order_by[0] if order_by else None
         eras = None
+        in_bn = {os.path.basename(f) for f in files_needed}
+        cluster_bounds = self._cluster_bounds(m, in_bn) if n_e > 1 else None
         era_bounds = (
-            self._era_bounds(m, {os.path.basename(f) for f in files_needed})
-            if n_e > 1 and rk0
+            self._era_bounds(m, in_bn)
+            if n_e > 1 and rk0 and cluster_bounds is None
             else None
         )
-        if era_bounds is not None:
+        if cluster_bounds is not None:
+            # z-order on the fold path (r6): same one extra OUTPUT-sized
+            # exchange as the 1-D era split, but the cell is the Morton
+            # interleave over cluster_by and the within-file sort is the
+            # full Morton key — fold output stays prunable on EVERY
+            # clustered column, not just the ordering column
+            cell, zsort = zorder_cell_and_key(cluster_bounds, n_e)
+            k_parts = k_parts * n_e
+            merged = (
+                winners.withColumn("__era", cell)
+                .withColumn("__z", zsort)
+                .repartition(k_parts, "__bucket", "__salt", "__era")
+                .sortWithinPartitions("__bucket", "__salt", "__z")
+                .drop("__salt", "__era", "__z")
+            )
+            eras = list(range(n_e))
+        elif era_bounds is not None:
             lo_e, hi_e = era_bounds
             span_e = hi_e - lo_e + 1
             era = F.coalesce(

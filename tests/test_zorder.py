@@ -157,3 +157,74 @@ def test_zorder_binpack_path(spark, history):
     assert _snap(t) == before
     f_val, plan = _scan_fraction(t, min_order=0, max_order=1023, col="val")
     assert f_val < 0.6, plan
+
+
+def _drive_cowinc_z(spark, path, cluster_by, n_batches=8, per_batch=500):
+    """Steady-state CDC with folds kept hot (fold_every=2); every batch
+    appends new ids so live winners span both the seq and val ranges."""
+    t = LakeTable(spark, path, num_buckets=4, stats_columns=["val"])
+    t.fold_every = 2
+    t.era_split = 16
+    t.cluster_by = cluster_by
+    for b in range(n_batches):
+        lo, hi = b * per_batch, (b + 1) * per_batch
+        df = spark.createDataFrame(
+            [(int(j), int(j), int(_val(j))) for j in range(lo, hi)],
+            "id long, seq long, val long",
+        )
+        t.merge_upsert(df, keys=["id"], order_by=["seq"], batch_id=b,
+                       mode="cow_incremental" if b else "cow")
+    return t, n_batches * per_batch
+
+
+def test_zorder_fold_path_prunes_and_matches(spark, tmp_path):
+    """Fold outputs under cluster_by stay prunable on BOTH clustered
+    columns; state is identical to the plain-fold control."""
+    plain, hi = _drive_cowinc_z(spark, str(tmp_path / "plain"), None)
+    zt, _ = _drive_cowinc_z(spark, str(tmp_path / "z"), ["seq", "val"])
+    # drain pending delta chains (k_fold=1 folds any granule with >= 1
+    # pending file): non-ordering-column FILE pruning only engages on
+    # delta-free snapshots (to_df's LWW-resurrection guard), and the
+    # point here is the fold OUTPUT's layout
+    zt.fold_due(k_fold=1)
+    plain.fold_due(k_fold=1)
+    assert _snap(zt) == _snap(plain)
+    assert len(_snap(zt)) == hi
+
+    f_seq, plan_seq = _scan_fraction(zt, min_order=int(hi * 0.9), max_order=hi)
+    assert f_seq < 1.0, plan_seq
+    got = {r["id"] for r in zt.read_range(0, 511, col="val").collect()}
+    assert got == {i for i in range(hi) if _val(i) <= 511}
+    f_val, plan_val = _scan_fraction(zt, min_order=0, max_order=511, col="val")
+    assert f_val < 1.0, plan_val
+
+
+def test_zorder_fold_lww_across_cells(spark, tmp_path):
+    """A key whose versions land in different Morton cells must still
+    resolve ONE winner — the LWW window stays (bucket, salt); the cell
+    only shapes the output files (same invariant as the era split)."""
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2,
+                  stats_columns=["val"])
+    t.fold_every = 1
+    t.era_split = 16
+    t.cluster_by = ["seq", "val"]
+    df = spark.createDataFrame(
+        [(int(j), int(j), int(_val(j))) for j in range(400)],
+        "id long, seq long, val long",
+    )
+    t.merge_upsert(df, keys=["id"], order_by=["seq"], batch_id=0)
+    upd = spark.createDataFrame(
+        [(i, 10_000 + i, int(_val(i + 7))) for i in range(100)],
+        "id long, seq long, val long",
+    )
+    t.merge_upsert(upd, keys=["id"], order_by=["seq"], batch_id=1,
+                   mode="cow_incremental")
+    t.fold_due(k_fold=10**9)
+    got = _snap(t)
+    want = {
+        i: ((10_000 + i, _val(i + 7)) if i < 100 else (i, _val(i)))
+        for i in range(400)
+    }
+    assert got == want
+    d = t.to_df()
+    assert d.count() == d.select("id").distinct().count() == 400
