@@ -56,6 +56,14 @@ def parse_args(argv):
                         "(reclaim unreferenced files), expire (drop old "
                         "manifests) — the spark-submit surface a cron "
                         "maintenance job calls")
+    p.add_argument("--era-split", type=int, default=1,
+                   help="clustered rewrite layout for compact-small/"
+                        "compact-full: cells per granule (1 = off)")
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns for a z-order (Morton) "
+                        "layout instead of the 1-D ordering-range split; "
+                        "each needs manifest zone-map bounds "
+                        "(the ordering column or stats_columns)")
     p.add_argument("--small-file-bytes", type=int, default=32 << 20)
     p.add_argument("--min-input-files", type=int, default=4,
                    help="stats / compact-small: small files per bucket "
@@ -168,6 +176,11 @@ def main(argv=None) -> int:
         from tap_rest_api_msdk_spark.streaming.laketable import LakeTable
 
         table = LakeTable(spark, args.table, num_buckets=args.num_buckets)
+        if args.era_split and args.era_split > 1:
+            table.era_split = args.era_split
+            if args.cluster_by:
+                table.cluster_by = [c.strip() for c in
+                                    args.cluster_by.split(",") if c.strip()]
         if args.maintenance == "stats":
             out = table.stats(small_file_bytes=args.small_file_bytes,
                               min_input_files=args.min_input_files)
