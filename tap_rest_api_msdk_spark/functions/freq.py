@@ -71,18 +71,26 @@ def countmin_estimates(
     1 - e^-d. At 10^10 rows the counter table is d*w cells regardless of
     input size and broadcasts to the probe side."""
     lanes = _lanes(d)
-    counters = (
-        df.select(F.explode(buckets_for(F.col(key_col), lanes, w)).alias("lb"))
-        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    # ONE map-side-combined aggregate collapses the input to (distinct
+    # key, multiplicity) BEFORE any hashing: the portable hash is md5-
+    # derived, so hashing every raw row paid |rows| * d md5 lanes where
+    # |distinct keys| suffice — counter cell (lane, bucket) then counts
+    # SUM(multiplicity) of the keys hashing there, which is identical to
+    # counting raw rows. The same frame is the probe set (it IS the
+    # distinct-key table), so the former second full scan + distinct
+    # exchange disappears; the barrier keeps the base from being computed
+    # once per consumer.
+    base = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
     )
-    probes = (
-        df.select(F.col(key_col).alias("key")).distinct()
-        .select("key", F.explode(buckets_for(F.col("key"), lanes, w)).alias("lb"))
-        .select("key", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
-    )
+    ex = base.select(
+        "key", "__n", F.explode(buckets_for(F.col("key"), lanes, w)).alias("lb")
+    ).select("key", "__n", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+    counters = ex.groupBy("lane", "bucket").agg(F.sum("__n").alias("c"))
     return (
-        probes.join(F.broadcast(counters), ["lane", "bucket"])
+        ex.join(F.broadcast(counters), ["lane", "bucket"])
         .groupBy("key")
         .agg(F.min("c").alias(out_col))
         .select(F.col("key").alias(key_col), out_col)

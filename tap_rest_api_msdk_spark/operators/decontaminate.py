@@ -120,11 +120,19 @@ def decontaminate_ngram_overlap(
     # explode runs in the scan stage at split-count parallelism
     docs_w = spread_input(docs)
     eval_docs = docs_w.filter(eval_pred)
-    eval_g = eval_docs.select(F.explode(grams).alias("g")).distinct()
-    train_g = (
-        docs_w.filter(~eval_pred)
-        .select(id_col, F.explode_outer(grams).alias("g"))
-        .distinct()
+    # r7: dedupe grams INSIDE the row (array_distinct) before exploding.
+    # A doc's grams all live in its own array, so per-doc distinct ==
+    # distinct over the exploded (id, g) rows — the former .distinct()
+    # on the train side was a full shuffle+sort of the exploded gram
+    # stream (|docs| * |grams/doc| rows) that row-local dedup makes free
+    # (guide §2.4). The eval side still needs the CROSS-doc distinct
+    # (duplicate probe rows would double-count collisions on the join),
+    # but the row-local pass shrinks what that exchange carries.
+    eval_g = eval_docs.select(
+        F.explode(F.array_distinct(grams)).alias("g")
+    ).distinct()
+    train_g = docs_w.filter(~eval_pred).select(
+        id_col, F.explode_outer(F.array_distinct(grams)).alias("g")
     )
 
     mode = join_mode

@@ -326,9 +326,23 @@ def minhash_dedup(
     (DuckDB) rounding diverges on exact .xxxxxx5 grid points.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, portable=portable)
-    # verify side spreads too: shingling for the exact-Jaccard check runs
-    # in the scan stage, whose task count is the input split count
-    sh = spread_input(df).select(
+    # materialize the candidate pairs ONCE (they are small by construction —
+    # that is the point of banded LSH): they feed the id filter below AND
+    # both verify joins, and without a barrier Spark re-runs the whole
+    # lanes+banding pipeline for each consumer (r7: measured 3 corpus-wide
+    # shingle+md5 passes collapsing to 1).
+    cands = cands.localCheckpoint(eager=True)
+    # verify ONLY the candidate docs: shingling the full corpus again for
+    # the exact-Jaccard check is a second (and third) full scan whose
+    # output is immediately discarded for every non-candidate row. The
+    # semi-join prunes the scan to candidate ids before any shingle work;
+    # AQE broadcasts the (tiny) id list, so the docs side never shuffles.
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(ids, id_col, "leftsemi").select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     out = (
@@ -815,23 +829,29 @@ def contained_docs(
 
     Returns (contained_id, container_id) distinct pairs.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        F.length(text_col).alias("ln"),
-    )
     posts = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     )
     if max_shingle_freq:
-        keep = (
-            posts.groupBy("sh")
-            .agg(F.count_distinct("id").alias("df_"))
+        # count-window df filter (the jaccard_pairs device, r6/r7): one
+        # explicit repartition on the shingle serves the per-shingle
+        # document-frequency count in place — the former groupBy+join-back
+        # spent two extra full posting-list exchanges on the same filter.
+        # (shingles are distinct per doc via array_distinct, so count(*)
+        # per shingle == count_distinct(id) — identical filter.)
+        from pyspark.sql import Window
+
+        posts = (
+            posts.repartition("sh")
+            .withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("sh")))
             .filter(F.col("df_") <= max_shingle_freq)
-            .select("sh")
+            .drop("df_")
         )
-        posts = posts.join(keep, "sh")
+    # materialize the (df-capped) posting list once: it feeds the anchor
+    # aggregate AND the inverted-index join side — without a barrier the
+    # tokenize+shingle explode is re-derived per consumer
+    posts = posts.localCheckpoint(eager=True)
     anchors = posts.groupBy("id").agg(F.min("sh").alias("sh"))
     cands = (
         anchors.select(F.col("id").alias("id_a"), "sh")
@@ -839,6 +859,23 @@ def contained_docs(
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+    # the instr verify only needs the CANDIDATE docs' texts: materialize
+    # the (small) candidate pair list, semi-join the corpus down to the
+    # ids it mentions, and only then carry full text into the verify —
+    # joining the whole corpus' text in twice shuffles every document
+    # body for a candidate set that is ~posting-list-sized (guide §2.3:
+    # shuffle keys and metadata, then attach payloads once).
+    cands = cands.localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.join(ids, id_col, "leftsemi").select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("ln"),
     )
     a = docs.select(F.col("id").alias("id_a"), F.col("text").alias("ta"), F.col("ln").alias("la"))
     b = docs.select(F.col("id").alias("id_b"), F.col("text").alias("tb"), F.col("ln").alias("lb"))

@@ -323,16 +323,26 @@ def q_text_tfidf_topterms(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()  # driver-side scalar: the corpus size literal
-    tok = docs.select(
+    # ONE token explode, TWO exchanges, ZERO joins (r7 — the count-window
+    # device the surprisal/oov family uses): the explicit repartition on
+    # the term makes hashpartitioning(term) satisfy BOTH the (doc, term)
+    # tf aggregate (subset rule) and the per-term document-frequency
+    # window — df = row count over the tf pre-aggregate, since it has
+    # exactly one row per (doc, term). The former plan exploded the token
+    # stream TWICE (tf and a distinct->groupBy df) and shuffled the tf
+    # table again to join df back on the term.
+    tok = _spread(docs).select(
         "doc_id", F.explode(TX.ws_tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    tf = (
+        tok.repartition("term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.join(df_, "term").withColumn(
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.withColumn(
         "score",
-        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000)
+        F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / df_) * 1000000)
         / 1000000,
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
@@ -478,14 +488,20 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcastable dims)."""
+    """TPC-H Q3 shape: 3-way join + agg + top-k (broadcastable dims).
+
+    r7 join order (guide §3.1/§3.2): broadcast-filter orders down to the
+    BUILDING segment FIRST (cust is the broadcast side either way), so
+    the big lineitem join probes a ~5x smaller build side; the
+    shuffle_hash hint keeps that join a hash join instead of sort-merge —
+    no sort of the 6M-row lineitem shuffle. Same rows, same aggregate."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(28,6)")
+    orders_b = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_b.hint("shuffle_hash"), li.l_orderkey == orders_b.o_orderkey)
         .groupBy("o_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
                  "o_orderpriority")
@@ -574,13 +590,24 @@ def q_session_windows(spark, sf_dir):
 
 
 def q_rollup_revenue(spark, sf_dir):
-    """ROLLUP grouping-set aggregation over lineitem."""
+    """ROLLUP grouping-set aggregation over lineitem.
+
+    r7: pre-aggregate per (returnflag, linestatus) FIRST, then rollup the
+    tiny grouped table. Spark's rollup plans an Expand that multiplies
+    every input row by the number of grouping sets (3x the 6M-row scan
+    through the hash aggregate); re-aggregating exact partial aggregates
+    (long counts, decimal sums) is value-identical and the Expand now
+    runs over ~6 rows (guide §2.3: aggregate before you shuffle)."""
     li = _t(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("__s"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double").alias("sum_price"),
+            F.sum("__n").alias("n_items"),
+            F.sum("__s").cast("double").alias("sum_price"),
         )
     )
 
@@ -809,18 +836,40 @@ def q_bloom_filter_join(spark, sf_dir):
     real join would run; reports pass/exact/false-positive row counts.
     The (lane, pos) set IS the filter — the portable equivalent of Spark's
     own bloom runtime filter, exactly reproduced by the oracle."""
-    from tap_rest_api_msdk_spark.functions.freq import bloom_positions, bloom_probe
+    from tap_rest_api_msdk_spark.functions.freq import _lanes, bloom_positions, buckets_for
 
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     build_keys = cust.select(F.col("c_custkey").alias("key")).distinct()
-    probe = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
-    passed = bloom_probe(probe, "key", bloom_positions(cust, "c_custkey", k=3, m=1024), k=3, m=1024)
-    exact = probe.join(build_keys, "key", "leftsemi")
-    false_pos = passed.join(build_keys, "key", "leftanti")
-    return (
-        passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("n_false_pos")))
+    positions = bloom_positions(cust, "c_custkey", k=3, m=1024)
+    # ONE pass over the probe side (r7; guide §1.2 "don't compute things
+    # twice"): the former passed/exact/false_pos triple scanned orders five
+    # times (bloom_probe's distinct + semi-join, plus a full recompute of
+    # `passed` for the anti-join). Instead: collapse orders to (distinct
+    # key, multiplicity) once, mark each key with its bloom pass (all k
+    # broadcast-joined positions hit) and exact-build membership, and roll
+    # the three row counts up in a single aggregate — sum(multiplicity)
+    # over flagged keys is exactly the former per-row counts.
+    lanes = _lanes(3)
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marked = (
+        keys.select("key", "n", F.explode(buckets_for(F.col("key"), lanes, 1024)).alias("lb"))
+        .select("key", "n", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("pos"))
+        .join(F.broadcast(positions.withColumn("__in", F.lit(1))), ["lane", "pos"], "left")
+        .groupBy("key", "n")
+        .agg(F.sum(F.when(F.col("__in").isNotNull(), 1).otherwise(0)).alias("kh"))
+        .join(F.broadcast(build_keys.withColumn("__b", F.lit(1))), "key", "left")
+    )
+    passed = F.col("kh") == 3
+    return marked.agg(
+        F.coalesce(F.sum(F.when(passed, F.col("n"))), F.lit(0)).alias("n_bloom_pass"),
+        F.coalesce(F.sum(F.when(F.col("__b").isNotNull(), F.col("n"))), F.lit(0)).alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(passed & F.col("__b").isNull(), F.col("n"))), F.lit(0)
+        ).alias("n_false_pos"),
     )
 
 
@@ -1138,15 +1187,26 @@ def _quality_scores(docs, extra_cols=()):
     exact integers and the linear combination is written in the same
     association order as the oracle SQL, so the doubles match
     bit-for-bit (no transcendental anywhere)."""
+    # ROW-LOCAL feature extraction (r7; guide §2.4 "remove shuffles
+    # outright"): every feature is a function of the doc's own token
+    # array, so the former explode -> groupBy(doc) -> count_distinct
+    # pipeline (a full token-stream shuffle plus a two-phase distinct
+    # aggregate at web scale) collapses into native array expressions in
+    # the scan stage — ONE scan, ZERO exchanges. Values are identical:
+    # count/distinct/lengths of a doc's tokens computed in place, cast
+    # long to keep the former aggregate dtypes. sum_len rides
+    # concat_ws("") — the concatenated length IS the sum of token
+    # lengths, with no interpreted fold.
     tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    tok = docs.select("doc_id", *extra_cols, F.explode(tokens).alias("tk"))
-    agg = tok.groupBy("doc_id", *extra_cols).agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.count_distinct("tk").alias("n_distinct"),
-        F.sum(F.length("tk")).alias("sum_len"),
-        F.sum(
-            F.when(F.col("tk").isin(*_QUALITY_STOPWORDS), 1).otherwise(0)
-        ).alias("n_stop"),
+    agg = docs.select(
+        "doc_id",
+        *extra_cols,
+        F.size(tokens).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct"),
+        F.length(F.concat_ws("", tokens)).cast("long").alias("sum_len"),
+        F.size(
+            F.filter(tokens, lambda tk: tk.isin(*_QUALITY_STOPWORDS))
+        ).cast("long").alias("n_stop"),
     )
     ttr = F.col("n_distinct") / F.col("n_tok")
     stop_ratio = F.col("n_stop") / F.col("n_tok")
