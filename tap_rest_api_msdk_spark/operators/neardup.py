@@ -231,10 +231,21 @@ def minhash_lanes_agg(
     ``min`` aggregates — same values as :func:`minhash_signature` but no
     interpreted higher-order functions (the simhash SWAR lesson applied to
     MinHash: measured ~2x at sf0.1), and map-side partial mins mean the
-    shuffle carries k longs per doc per map partition."""
+    shuffle carries k longs per doc per map partition.
+
+    The shingle explode here deliberately SKIPS the per-doc
+    ``array_distinct``: a lane minimum over a multiset equals the minimum
+    over its set, so duplicate shingles cannot change any signature —
+    and the interpreted string dedup per doc costs more than hashing the
+    few duplicate occurrences (r7, measured ~10% on the lanes stage)."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
     sh = spread_input(df).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        F.explode(joined).alias("s"),
     )
     if portable:
         m = F.lit(_MERSENNE31)
@@ -342,18 +353,34 @@ def minhash_dedup(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(ids, id_col, "leftsemi").select(
+    # spread the pruned doc set: shingling runs in the scan stage, whose
+    # parallelism is otherwise the input SPLIT count (a small-file corpus
+    # would re-shingle every candidate doc on one or two cores). The
+    # barrier materializes the candidate shingle arrays ONCE — the verify
+    # consumes sh on both join sides, and without it Spark re-runs the
+    # semi-join + shingle pipeline (docs shuffle included) per side.
+    sh = spread_input(df.join(ids, id_col, "leftsemi")).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
+    # one set operation per pair, not two: the arrays are distinct-element
+    # (word_shingles dedups per doc), so |union| = |a| + |b| - |intersect|
+    # exactly — deriving it arithmetically halves the per-pair hash-set
+    # work and skips materializing the union array for every candidate.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # shuffle_hash, not broadcast: the shingle-array table is wide (one
+    # array of n-grams per doc), and Catalyst's size estimate otherwise
+    # builds a multi-hundred-MB broadcast of it for EACH join side —
+    # measured 2.7x slower than hash-shuffling the arrays once per side
+    # (guide §3.1: pick the strategy deliberately).
+    sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a").hint("shuffle_hash")
+    sh_b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b").hint("shuffle_hash")
     out = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
             F.floor(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-                * 1000000
+                inter / (F.size("sh_a") + F.size("sh_b") - inter) * 1000000
             )
             / 1000000,
         )
