@@ -1820,11 +1820,17 @@ def q_text_char_entropy(spark, sf_dir):
     the quantized partials are < 7e4 * n, so the integer sum fits a
     bigint exactly in both engines."""
     docs = _t(spark, sf_dir, "documents")
+    # r7: aggregate on the char's CODE POINT (ascii), not the 1-char
+    # string — the mapping is bijective for single code points and the
+    # char itself never reaches the output, so per-(doc, char) counts are
+    # identical while the 40M-row hash aggregate runs on integer keys
+    # (~12% on this stage; split('')-based kernels A/B'd slower than the
+    # regexp explode, see OPTIMIZATION_r07.md).
     ch = docs.select(
         "doc_id",
         F.length("text").alias("n"),
         F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
-    )
+    ).select("doc_id", "n", F.ascii("ch").alias("ch"))
     cc = ch.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
     q = cc.select(
         "doc_id",

@@ -111,3 +111,59 @@ def test_ivf_assignment_is_partition_invariant(emb):
     a = sorted(map(tuple, ivf_topk_portable(emb, queries, k=5).collect()))
     b = sorted(map(tuple, ivf_topk_portable(emb.repartition(13), queries, k=5).collect()))
     assert a == b
+
+
+def test_semantic_dedup_kernel_matches_join(spark, emb):
+    """The r7 numpy within-cluster kernel must reproduce the expression-
+    form self-join EXACTLY (same dup ids -> same per-label keep counts):
+    the kernel accumulates dot/norm column-by-column, which is the same
+    IEEE fold order as cosine()'s aggregate(zip_with(...)), so even
+    threshold-boundary cos values cannot drift."""
+    from tap_rest_api_msdk_spark.functions.similarity import (
+        _cluster_dups_np,
+        _ivf_assign_np,
+        auto_centroids,
+        cosine,
+        semantic_dedup,
+    )
+    from tap_rest_api_msdk_spark.functions.portable_hash import hash60
+
+    n_centroids = auto_centroids(emb.count())
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid_src"),
+            F.transform(
+                F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+            ).alias("cq"),
+            hash60(F.col("vec_id").cast("string")).alias("hr"),
+        )
+        .orderBy("hr", "cid_src")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_vecs = [list(r["cq"]) for r in cents]
+    cid_rows = _ivf_assign_np(emb, cent_vecs, 1, "id", "vec_id", "embedding")
+    assign = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").alias("lbl"),
+    ).join(cid_rows, "id")
+
+    a, b = assign.alias("a"), assign.alias("b")
+    join_dups = sorted(
+        r["id"]
+        for r in (
+            a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")))
+            .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+            .filter(F.col("cos") >= 0.4)
+            .select(F.col("b.id").alias("id"))
+            .distinct()
+            .collect()
+        )
+    )
+    kernel_dups = sorted(r["id"] for r in _cluster_dups_np(assign, 0.4).collect())
+    assert kernel_dups == join_dups
+
+    # and the public operator still agrees with its DuckDB oracle shape
+    out = {r["label"]: (r["n_vecs"], r["n_kept"]) for r in semantic_dedup(emb).collect()}
+    assert sum(v[0] for v in out.values()) == emb.count()
