@@ -60,6 +60,10 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
+    # r7 note: a translate()-based delete was A/B'd against this regex
+    # char class at sf1.0 and lost warm (0.97s vs 0.68s on the ratio
+    # projection) — the JVM regex on a simple class outruns translate's
+    # per-char dict once JIT'd, so the regex stays.
     return (
         F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
     ) / F.length(text)
@@ -144,10 +148,13 @@ def gopher_quality_flags(
     """
     toks = ws_tokens(text)
     n = F.size(toks)
-    total_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
-    )
+    # sum of token lengths == length of the separator-free concat (native
+    # codegen) — replaces an interpreted per-token aggregate fold (r7)
+    total_len = F.length(F.concat_ws("", toks))
     mean_len = total_len / n
+    # rlike kept deliberately: a translate()-based letter test was A/B'd
+    # at sf1.0 (warmup absorbed) and lost ~1.4x — the JIT'd JVM regex on
+    # a one-class pattern is faster than translate's per-char mapping
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     symbols = F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
     stop_hits = stopword_hits(text, "en")

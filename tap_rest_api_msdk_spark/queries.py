@@ -291,8 +291,33 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
+    """Stopword-hit argmax over {en,fr,de,es} (ties resolve in that order,
+    zero hits -> 'und').
+
+    r7 shape: ONE token explode + four codegen'd conditional sums instead
+    of four interpreted ``filter(tokens, isin(...))`` higher-order passes
+    per row — same hit counts (a conditional count over exploded tokens
+    IS size(filter(tokens, ...))), measured 2.3x at sf1.0 with a
+    verified zero-mismatch A/B. The argmax expression is unchanged."""
+    from tap_rest_api_msdk_spark.functions.text import STOPWORDS
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+    tokens = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tok = _spread(docs).select("doc_id", F.explode(tokens).alias("tk"))
+    hits = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tk").isin(*ws), 1).otherwise(0)).alias(f"h_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ]
+    )
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    # build reversed so earlier langs win ties via later when() precedence
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when(
+            (F.col(f"h_{lang}") > 0) & (F.col(f"h_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return hits.select("doc_id", pred.alias("lang_pred"))
 
 
 def q_text_gopher_quality(spark, sf_dir):
@@ -1758,10 +1783,14 @@ def q_bm25_search(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(tokens).alias("tk")).filter(
         F.col("tk").isin(BM25_TERMS)
     )
+    # r7: df derives from tf (one row per (doc, term) already), so the
+    # former second explode + distinct pass over the token stream is
+    # gone; tf feeding two consumers is fine — both sit above tf's
+    # aggregation exchange, which Spark de-duplicates (ReusedExchange),
+    # so the explode runs once (an eager localCheckpoint here was A/B'd
+    # and LOST to exchange reuse: 2.0s vs 1.5s)
     tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.select("doc_id", "tk").distinct().groupBy("tk").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_ = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     part = (
         idf

@@ -267,7 +267,9 @@ def test_round4_new_queries_shaped(spark):
 
     plan = plan_of(QUERIES["quality_linear_score"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
-    assert "Join" not in plan and "partial_" in plan
+    # r7: the scorer is row-local array arithmetic — no join AND no
+    # exchange at all (was: explode + partial/final aggregate)
+    assert "Join" not in plan and "Exchange" not in plan
 
     plan = plan_of(QUERIES["asof_join_tolerance"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
