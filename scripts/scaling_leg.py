@@ -54,6 +54,19 @@ def main() -> None:
     )
     if shm:
         builder = builder.config("spark.local.dir", shm)
+    # env-gated stage-metrics capture (r7, verdict item #1): when
+    # LEG_EVENTLOG_DIR is set, write the Spark event log so
+    # scripts/scaling_attrib.py can aggregate per-stage shuffle bytes,
+    # CPU/GC time and spill for the executor-scaling pair. Off (and
+    # byte-identical behavior) when unset — the bench never sets it.
+    ev_dir = os.environ.get("LEG_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", "file://" + ev_dir)
+            .config("spark.eventLog.compress", "false")
+        )
     s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
 

@@ -101,3 +101,26 @@ def test_jaccard_skew_guard_bounds_hot_shingle(spark):
         sh.alias("a").join(sh.alias("b"), "s").count()
     )
     assert unguarded_cands > 200 * 200  # quadratic without the guard
+
+
+def test_contained_skew_guard_and_candidate_prune(spark):
+    """r7: contained_docs switched to the count-window df filter plus a
+    semi-joined verify — the pathological hot-shingle shape (ADVICE r6)
+    must still df-cap the boilerplate shingle, keep the true containment
+    pair, and never route full texts of non-candidates into the verify."""
+    from tap_rest_api_msdk_spark.operators.neardup import contained_docs
+
+    boiler = "this file is part of the generated corpus do not edit"
+    rows = [
+        (i, f"{boiler} unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(200)
+    ]
+    # plant a true containment: doc 1000 is doc 0's text plus a suffix
+    rows.append((1000, rows[0][1] + " trailing suffix tokens here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = contained_docs(docs, "doc_id", "text", n=3, max_shingle_freq=100)
+    got = {(r.contained_id, r.container_id) for r in out.collect()}
+    assert (0, 1000) in got
+    # no false containments among the filler docs (distinct tails)
+    assert all(a == 0 and b == 1000 for a, b in got)
