@@ -1862,6 +1862,59 @@ def q_chunk_windows(spark, sf_dir):
     )
 
 
+def _char_entropy_kernel(batches):
+    """Arrow-batched numpy kernel for q_text_char_entropy (guide §4.2):
+    per-doc char histograms + the quantized-entropy reduction, all
+    vectorized ACROSS the batch (no per-doc Python loop). Every step
+    mirrors the expression formulation's IEEE ops exactly — counts are
+    exact integers, q = floor((c * -log(c/n)) * 1e4) with the same
+    double division/multiply order, per-doc sums are exact integer sums
+    (bincount weights < 2^53) — so the only operation that can differ
+    from the JVM path is libm log vs Java Math.log, guarded by the same
+    coarse 1e4 floor quantum the cross-engine oracle already relies on
+    (pinned kernel==expression in tests/test_text_kernels.py and
+    zero-mismatch vs the expression at 4 datasets incl. sf1.0-scale)."""
+    import numpy as np
+    import pandas as pd
+
+    # Java regex '.' (the old explode) skips line terminators; length()
+    # still counts them, so exclusion only affects the histogram
+    excl = np.array([0x0A, 0x0D, 0x85, 0x2028, 0x2029], dtype=np.int64)
+    for pdf in batches:
+        texts = pdf["text"].fillna("")
+        ids = pdf["doc_id"].to_numpy()
+        lens = texts.str.len().to_numpy(dtype=np.int64)
+        joined = "".join(texts.tolist())
+        cp = np.frombuffer(
+            joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        keep = ~np.isin(cp, excl)
+        cp, di = cp[keep], doc_idx[keep]
+        # one sort over (doc, codepoint) packed keys gives every per-doc
+        # histogram at once; code points < 2^21, batch index < 2^43
+        uk, c = np.unique((di << 21) | cp, return_counts=True)
+        kdi = uk >> 21
+        n = lens[kdi].astype(np.float64)
+        cf = c.astype(np.float64)
+        q = np.floor((cf * -np.log(cf / n)) * 10000.0).astype(np.int64)
+        s4 = np.bincount(kdi, weights=q.astype(np.float64), minlength=len(texts)).astype(np.int64)
+        dc = np.bincount(kdi, minlength=len(texts)).astype(np.int64)
+        present = np.zeros(len(texts), dtype=bool)
+        present[kdi] = True  # docs with zero kept chars vanish, like explode
+        ent = np.floor(
+            s4[present].astype(np.float64) / lens[present].astype(np.float64)
+        ) / 10000.0
+        yield pd.DataFrame(
+            {
+                "doc_id": ids[present],
+                "n_chars": lens[present],
+                "distinct_chars": dc[present],
+                "char_entropy": ent,
+            }
+        )
+
+
 def q_text_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document — the cheap
     gibberish/boilerplate detector (low entropy = repeated runs,
@@ -1870,12 +1923,28 @@ def q_text_char_entropy(spark, sf_dir):
     floor-quantized at the coarse 1e4 BEFORE the order-free integer
     sum (single-transcendental treatment as text_unigram_surprisal).
 
-    Scale shape: one scan; the doc length rides the explode projection
-    (no self-join, no window), one aggregate tree. n <= doc length and
-    the quantized partials are < 7e4 * n, so the integer sum fits a
-    bigint exactly in both engines."""
+    r7 scale shape: the whole reduction is doc-local, so it runs as ONE
+    Arrow-batched numpy kernel over one scan — ZERO exchanges, no 40M-row
+    explode through a hash aggregate (that aggregate was the round's
+    heaviest non-dedup stage: 5.4-7.6s warm at sf1.0-scale vs ~1.0s for
+    the kernel, and the 41M-char histogram never leaves its batch).
+    Embarrassingly parallel at 100 TB; only (doc_id, text) cross the
+    Python boundary. The expression formulation it replaced (and is
+    pinned against) is _text_char_entropy_expr below."""
     docs = _t(spark, sf_dir, "documents")
-    # r7: aggregate on the char's CODE POINT (ascii), not the 1-char
+    return _spread(docs).select("doc_id", "text").mapInPandas(
+        _char_entropy_kernel,
+        "doc_id long, n_chars long, distinct_chars long, char_entropy double",
+    )
+
+
+def _text_char_entropy_expr(spark, sf_dir):
+    """The pure-expression twin of q_text_char_entropy (pre-r7 shape):
+    kept as the kernel's equivalence oracle — tests pin kernel ==
+    expression on edge-case corpora (nulls, empties, newlines, unicode)
+    and the checked SFs."""
+    docs = _t(spark, sf_dir, "documents")
+    # aggregate on the char's CODE POINT (ascii), not the 1-char
     # string — the mapping is bijective for single code points and the
     # char itself never reaches the output, so per-(doc, char) counts are
     # identical while the 40M-row hash aggregate runs on integer keys
