@@ -305,7 +305,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash, not sort-merge: both sides are the SAME derived band
+    # table (ReusedExchange dedups the lanes subtree either way), but SMJ
+    # adds a full sort of each side; hashing the modest per-partition band
+    # groups instead measured 5.0 -> 3.7 s at sf1.0-scale (r7, guide §3.1)
+    a = banded.hint("shuffle_hash").alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

@@ -1269,6 +1269,12 @@ def _quality_scores(docs, extra_cols=()):
         "doc_id",
         *extra_cols,
         "n_tok",
+        # __q4 is the pre-division quantized score: an exact LONG that is
+        # bijective to quality_score (q4 -> q4/1e4), so consumers that
+        # group/window/join on the score can key on the integer instead —
+        # float keys get NaN/-0.0 normalization wrappers that defeat
+        # exchange reuse (r7, q_quality_percentile_filter)
+        F.floor(score * 1e4).alias("__q4"),
         (F.floor(score * 1e4) / 1e4).alias("quality_score"),
         (score > 0.75).alias("keep"),
     )
@@ -1407,30 +1413,43 @@ def q_quality_percentile_filter(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    qsc = _quality_scores(docs, ("source",)).select(
-        "doc_id", "source", "quality_score"
-    )
-    hist = qsc.groupBy("source", "quality_score").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # r7: the tokenize-heavy score subtree feeds TWO consumers (the
+    # histogram aggregate and the row_number window), and Spark computed
+    # it twice — once per branch. The (doc_id, source, __q4) projection
+    # is ~17 bytes/doc (the guide-§8 metadata-not-payload shape), so one
+    # eager localCheckpoint materializes the scores once and both
+    # branches read the checkpoint: 3.0 -> ~2.4 s at sf1.0-scale.
+    # Exchange-reuse variants were tried first and LOST: keying the
+    # repartition on the quality_score double gets defeated by
+    # normalizenanandzero() wrappers (4.2 s), and even with the
+    # exact-integer __q4 key the branches' column pruning diverges the
+    # exchange subtrees, so nothing is reused (3.5 s).
+    # __q4 = floor(score*1e4) as a LONG is bijective to quality_score;
+    # grouping/windowing/joining on it is value-identical and keeps
+    # float-normalization wrappers out of the window partitioning.
+    qsc = _quality_scores(docs, ("source",)).select("doc_id", "source", "__q4")
+    qsc = qsc.localCheckpoint(eager=True)
+    hist = qsc.groupBy("source", "__q4").agg(F.count(F.lit(1)).alias("c"))
     w_src = Window.partitionBy("source")
-    w_cum = w_src.orderBy(F.col("quality_score").desc()).rowsBetween(
+    w_cum = w_src.orderBy(F.col("__q4").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cuts = hist.select(
         "source",
-        "quality_score",
+        "__q4",
         (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
         F.expr("(sum(c) over (partition by source) * 3) div 4").alias(
             "keep_total"
         ),
     )
-    w_grp = Window.partitionBy("source", "quality_score").orderBy("doc_id")
+    w_grp = Window.partitionBy("source", "__q4").orderBy("doc_id")
     ranked = qsc.withColumn("rn", F.row_number().over(w_grp))
     return (
-        ranked.join(F.broadcast(cuts), ["source", "quality_score"])
+        ranked.join(F.broadcast(cuts), ["source", "__q4"])
         .filter(F.col("cum_before") + F.col("rn") <= F.col("keep_total"))
-        .select("doc_id", "source", "quality_score")
+        .select(
+            "doc_id", "source", (F.col("__q4") / 1e4).alias("quality_score")
+        )
     )
 
 

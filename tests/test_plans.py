@@ -233,13 +233,17 @@ def test_chunk_windows_single_scan_no_shuffle(spark):
 
 
 def test_char_entropy_no_join_single_scan(spark):
-    """Char entropy carries the doc length through the explode — no
-    self-join, no window; one scan feeding a partial-aggregated tree."""
+    """r7: char entropy is ONE Arrow-batched kernel over one scan — the
+    per-doc reduction is doc-local, so there is no join, no window, no
+    hash aggregate, and no exchange beyond spread_input's round-robin
+    widener (row-at-a-time BatchEvalPython stays banned; MapInPandas is
+    the Arrow path)."""
     plan = plan_of(QUERIES["text_char_entropy"](spark, SF_DIR))
-    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BatchEvalPython" not in plan
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1
-    assert "partial_" in plan
+    assert "MapInPandas" in plan
+    assert "HashAggregate" not in plan and "hashpartitioning" not in plan
 
 
 def test_unigram_surprisal_join_free_shape(spark):
@@ -317,9 +321,11 @@ def test_quality_percentile_and_temperature_plans(spark):
     plan = plan_of(QUERIES["quality_percentile_filter"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "BroadcastHashJoin" in plan
-    # the doc-side row_number partitions by (source, quality_score, -> doc_id order)
+    # the doc-side row_number partitions by (source, __q4, -> doc_id
+    # order); __q4 is the exact-integer quantized score (r7), bijective
+    # to quality_score, so the fine-grained-partition property is the same
     assert re.search(
-        r"windowspecdefinition\(source#\d+, quality_score#\d+, doc_id", plan
+        r"windowspecdefinition\(source#\d+, __q4#\d+L, doc_id", plan
     )
 
     plan = plan_of(QUERIES["sample_temperature"](spark, SF_DIR))
