@@ -1363,7 +1363,16 @@ def _neardup_quality_scored(spark, sf_dir):
     pairs = minhash_dedup(docs, "doc_id", "text", n=3, k=32, bands=16,
                           threshold=0.5, portable=True)
     comps = connected_components(pairs)
-    q = _quality_scores(docs).select(
+    # r7: score ONLY cluster members. The join on node is inner, so
+    # quality for non-members was computed and thrown away — a full
+    # tokenize pass over the corpus to keep a few thousand rows. The
+    # semi-join prunes the scan before any score expression runs (the
+    # minhash-verify device); comps is cheap to consume twice (driver
+    # union-find relation for small graphs, per-round checkpoint blocks
+    # for the distributed loop). Measured ~1.3 s off survivors_quality
+    # and corpus_final_filter at sf1.0-scale.
+    members = comps.select(F.col("node").alias("doc_id"))
+    q = _quality_scores(docs.join(members, "doc_id", "leftsemi")).select(
         F.col("doc_id").alias("node"), "quality_score"
     )
     return comps.join(q, "node")
