@@ -1672,7 +1672,12 @@ def q_corpus_final_filter(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    qsc = _quality_scores(docs, ("source",))
+    # r7: the quality gate and the train universe both consume the
+    # tokenize-heavy score subtree; one eager localCheckpoint of the
+    # ~18-byte/doc (doc_id, source, keep) projection replaces two full
+    # scoring passes (same device as q_quality_percentile_filter)
+    qsc = _quality_scores(docs, ("source",)).select("doc_id", "source", "keep")
+    qsc = qsc.localCheckpoint(eager=True)
 
     scored = _neardup_quality_scored(spark, sf_dir)
     best = scored.groupBy("comp").agg(_best_member())
